@@ -1,0 +1,89 @@
+"""Batched Merkle-tree commitments with caps (TPU).
+
+The prover commits to polynomial evaluation matrices by Merkle-hashing every
+LDE row (leaf = all column values at one domain point) and reducing to a
+2^cap_height cap — the plonky2 ``MerkleTree``/``MerkleCap`` shape the
+reference relies on for every commitment (``constants_sigmas_cap`` is baked
+into recursive verifier data, reference ``recursion/gadgets/mod.rs:85-100``).
+
+All hashing is the batched Poseidon kernel: one ``hash_no_pad`` over [n,
+leaf_width] for leaves, then log2(n) - cap_height rounds of batched
+``two_to_one`` — each level one fused TPU dispatch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import poseidon as ps
+
+
+@dataclass
+class MerkleTree:
+    """levels[0] = leaf digests [n, 4]; levels[-1] = cap [2^cap_height, 4].
+    Kept as numpy for cheap host-side path extraction."""
+
+    levels: list
+    cap_height: int
+
+    @property
+    def cap(self) -> np.ndarray:
+        return self.levels[-1]
+
+    def prove(self, index: int) -> list:
+        """Sibling digests from leaf level up to (excluding) the cap."""
+        path = []
+        for level in self.levels[:-1]:
+            path.append(level[index ^ 1])
+            index >>= 1
+        return path
+
+
+def hash_leaves(leaf_data: jnp.ndarray) -> jnp.ndarray:
+    """[n, leaf_width] -> [n, 4] digests.
+
+    Matches plonky2's hash_or_noop: a leaf of width <= 4 is used directly
+    (zero-padded), wider leaves are hash_no_pad'ed.
+    """
+    n, width = leaf_data.shape
+    if width <= 4:
+        out = jnp.zeros((n, 4), dtype=jnp.uint64)
+        return out.at[:, :width].set(leaf_data)
+    return ps.hash_no_pad(leaf_data)
+
+
+def build_merkle_tree(leaf_data, cap_height: int) -> MerkleTree:
+    """leaf_data: [n, leaf_width] uint64 (n a power of two >= 2^cap_height)."""
+    leaf_data = jnp.asarray(leaf_data, dtype=jnp.uint64)
+    n = leaf_data.shape[0]
+    assert n & (n - 1) == 0, "leaf count must be a power of two"
+    assert n >= 1 << cap_height
+    digests = hash_leaves(leaf_data)
+    levels = [np.asarray(digests)]
+    while len(levels[-1]) > 1 << cap_height:
+        cur = jnp.asarray(levels[-1])
+        nxt = ps.two_to_one(cur[0::2], cur[1::2])
+        levels.append(np.asarray(nxt))
+    return MerkleTree(levels=levels, cap_height=cap_height)
+
+
+def verify_merkle_proof(
+    leaf_data, index: int, path: list, cap: np.ndarray
+) -> bool:
+    """Scalar verification (host): fold leaf up the path, compare to cap."""
+    leaf = [int(x) for x in leaf_data]
+    if len(leaf) <= 4:
+        digest = tuple((leaf + [0, 0, 0, 0])[:4])
+    else:
+        digest = tuple(ps.hash_no_pad_s(leaf))
+    for sibling in path:
+        sib = tuple(int(x) for x in sibling)
+        if index & 1:
+            digest = tuple(ps.two_to_one_s(sib, digest))
+        else:
+            digest = tuple(ps.two_to_one_s(digest, sib))
+        index >>= 1
+    return digest == tuple(int(x) for x in cap[index])

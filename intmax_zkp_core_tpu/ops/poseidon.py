@@ -169,7 +169,7 @@ def _sbox_s(x: int) -> int:
 
 def permute_s(state):
     """Scalar reference permutation over a length-12 list of ints."""
-    state = list(state)
+    state = [int(x) for x in state]
     for rnd in range(N_ROUNDS):
         rcs = ALL_ROUND_CONSTANTS[rnd * SPONGE_WIDTH : (rnd + 1) * SPONGE_WIDTH]
         state = [(s + c) % _P for s, c in zip(state, rcs)]
@@ -184,6 +184,7 @@ def permute_s(state):
 
 
 def hash_n_to_m_no_pad_s(inputs, num_outputs=4):
+    inputs = [int(x) for x in inputs]
     state = [0] * SPONGE_WIDTH
     for start in range(0, len(inputs), SPONGE_RATE):
         chunk = inputs[start : start + SPONGE_RATE]
@@ -197,7 +198,7 @@ def hash_no_pad_s(inputs):
 
 
 def hash_pad_s(inputs):
-    inputs = list(inputs) + [1]
+    inputs = [int(x) for x in inputs] + [1]
     while (len(inputs) + 1) % SPONGE_WIDTH != 0:
         inputs.append(0)
     inputs.append(1)

@@ -1,7 +1,9 @@
 """Test configuration: run on a virtual 8-device CPU mesh.
 
-Must set env vars before jax (transitively) imports, hence module scope in
-conftest.
+The environment's sitecustomize imports jax at interpreter startup (to
+register the TPU plugin), so setting JAX_PLATFORMS via os.environ here is
+too late.  jax.config.update works after import as long as no backend has
+been initialized yet — which is the case at conftest load time.
 """
 
 import os
@@ -12,3 +14,8 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,125 @@
+"""Engine tests: build/prove/verify small circuits end-to-end, including
+tamper rejection."""
+
+import pytest
+
+from intmax_zkp_core_tpu.engine.circuit import CircuitBuilder
+from intmax_zkp_core_tpu.engine.config import CircuitConfig, FriConfig
+from intmax_zkp_core_tpu.engine.witness import PartialWitness
+from intmax_zkp_core_tpu.ops.poseidon import permute_s, hash_no_pad_s
+
+P = 0xFFFFFFFF00000001
+
+
+def tiny_config():
+    return CircuitConfig(fri=FriConfig(num_query_rounds=6, proof_of_work_bits=4))
+
+
+def test_arithmetic_circuit_prove_verify():
+    builder = CircuitBuilder(tiny_config())
+    x = builder.add_virtual_target()
+    y = builder.add_virtual_target()
+    # z = x*y + x
+    xy = builder.mul(x, y)
+    z = builder.add(xy, x)
+    builder.register_public_input(x)
+    builder.register_public_input(y)
+    builder.register_public_input(z)
+    data = builder.build()
+
+    pw = PartialWitness()
+    pw.set_target(x, 3)
+    pw.set_target(y, 5)
+    proof = data.prove(pw)
+    assert proof.public_inputs == [3, 5, 18]
+    data.verify(proof)
+
+
+def test_wrong_public_input_rejected():
+    builder = CircuitBuilder(tiny_config())
+    x = builder.add_virtual_target()
+    y = builder.mul(x, x)
+    builder.register_public_input(x)
+    builder.register_public_input(y)
+    data = builder.build()
+    pw = PartialWitness()
+    pw.set_target(x, 7)
+    proof = data.prove(pw)
+    assert proof.public_inputs == [7, 49]
+    data.verify(proof)
+    # tamper with the claimed public input
+    proof.public_inputs = [7, 50]
+    with pytest.raises(AssertionError):
+        data.verify(proof)
+
+
+def test_copy_constraint_violation_detected():
+    builder = CircuitBuilder(tiny_config())
+    x = builder.add_virtual_target()
+    y = builder.add_virtual_target()
+    builder.connect(x, y)
+    builder.register_public_input(x)
+    data = builder.build()
+    pw = PartialWitness()
+    pw.set_target(x, 4)
+    pw.set_target(y, 5)  # conflicts with connect
+    with pytest.raises(AssertionError):
+        data.prove(pw)
+
+
+def test_poseidon_circuit_prove_verify():
+    builder = CircuitBuilder(tiny_config())
+    inputs = builder.add_virtual_targets(12)
+    outputs = builder.poseidon_permute(inputs)
+    for t in inputs:
+        builder.register_public_input(t)
+    for t in outputs:
+        builder.register_public_input(t)
+    data = builder.build()
+
+    pw = PartialWitness()
+    vals = list(range(1, 13))
+    for t, v in zip(inputs, vals):
+        pw.set_target(t, v)
+    proof = data.prove(pw)
+    assert proof.public_inputs[12:] == permute_s(vals)
+    data.verify(proof)
+
+
+def test_hash_gadget_matches_host():
+    builder = CircuitBuilder(tiny_config())
+    ins = builder.add_virtual_targets(9)
+    h = builder.hash_n_to_hash_no_pad(ins)
+    for t in ins:
+        builder.register_public_input(t)
+    for t in h:
+        builder.register_public_input(t)
+    data = builder.build()
+    pw = PartialWitness()
+    vals = [100 + i for i in range(9)]
+    for t, v in zip(ins, vals):
+        pw.set_target(t, v)
+    proof = data.prove(pw)
+    assert proof.public_inputs[9:] == hash_no_pad_s(vals)
+    data.verify(proof)
+
+
+def test_select_split_is_equal_gadgets():
+    builder = CircuitBuilder(tiny_config())
+    a = builder.add_virtual_target()
+    b = builder.add_virtual_target()
+    eq = builder.is_equal(a, b)
+    sel = builder.select(eq, a, b)
+    bits = builder.split_le(a, 8)
+    builder.register_public_input(a)
+    builder.register_public_input(b)
+    builder.register_public_input(eq.target)
+    builder.register_public_input(sel)
+    builder.register_public_input(bits[0].target)
+    data = builder.build()
+    pw = PartialWitness()
+    pw.set_target(a, 13)
+    pw.set_target(b, 9)
+    proof = data.prove(pw)
+    assert proof.public_inputs == [13, 9, 0, 9, 1]  # 13 != 9 -> select b; bit0(13)=1
+    data.verify(proof)
