@@ -525,6 +525,11 @@ class CircuitData:
 
         return prove(self, pw)
 
+    def check_witness(self, pw) -> list:
+        from .prover import check_witness
+
+        return check_witness(self, pw)
+
     def verify(self, proof) -> None:
         from .verifier import verify
 

@@ -170,6 +170,62 @@ def compute_vanishing_on_coset(
     return vanishing, z_h
 
 
+def compute_wire_matrix(pd, pw: PartialWitness):
+    """Run witness generation and assemble the [num_wires, n] matrix plus
+    public inputs (shared by prove() and check_witness())."""
+    cfg = pd.common.config
+    n = pd.common.n
+    fill = WitnessFill(pd)
+    fill.run(pw)
+    wires = np.zeros((cfg.num_wires, n), dtype=np.uint64)
+    for (row, col), t in pd.targets_at_place.items():
+        v = fill.get(t)
+        if v is None:
+            raise AssertionError(f"unset wire target at place {(row, col)}")
+        wires[col, row] = v
+    for (row, col), v in fill.wire_overrides.items():
+        wires[col, row] = v
+    public_inputs = [fill.get(t) for t in pd.public_input_targets]
+    assert all(v is not None for v in public_inputs), "unset public input"
+    return wires, public_inputs
+
+
+def check_witness(circuit_data: CircuitData, pw: PartialWitness) -> list:
+    """Fast witness validation: run generators, then evaluate every gate
+    constraint on the subgroup rows (no LDE / commitment / FRI).  Raises if
+    any constraint is violated; returns the public inputs.  This is the
+    cheap integration-test path for large circuits."""
+    pd = circuit_data.prover
+    common = pd.common
+    cfg = common.config
+    wires, public_inputs = compute_wire_matrix(pd, pw)
+    pi_hash = ps.hash_no_pad_s(public_inputs)
+
+    alg = BatchAlgebra()
+    n_sel = common.n_sel
+    sel = pd.constants_sigmas[:n_sel]
+    consts = pd.constants_sigmas[n_sel : n_sel + common.n_const_cols]
+    wires_cols = [jnp.asarray(wires[i]) for i in range(cfg.num_wires)]
+    const_cols = [jnp.asarray(consts[i]) for i in range(common.n_const_cols)]
+    pi_hash_cols = [jnp.uint64(v) for v in pi_hash]
+    from .gates import GATE_TYPES as _GT
+
+    for gi, gate_id in enumerate(common.gate_ids):
+        gate = _GT[gate_id]
+        if gate.num_constraints == 0:
+            continue
+        cs = gate.eval_constraints(alg, wires_cols, const_cols, pi_hash_cols)
+        sel_col = jnp.asarray(sel[gi])
+        for k, c in enumerate(cs):
+            vals = np.asarray(gl.mul(sel_col, jnp.broadcast_to(c, sel_col.shape)))
+            bad = np.nonzero(vals)[0]
+            if len(bad):
+                raise AssertionError(
+                    f"constraint {k} of gate '{gate_id}' violated at rows {bad[:5].tolist()}"
+                )
+    return public_inputs
+
+
 def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     pd = circuit_data.prover
     common = pd.common
@@ -180,20 +236,7 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     R = cfg.num_routed_wires
 
     # ---- 1. witness fill ----
-    fill = WitnessFill(pd)
-    fill.run(pw)
-
-    wires = np.zeros((cfg.num_wires, n), dtype=np.uint64)
-    for (row, col), t in pd.targets_at_place.items():
-        v = fill.get(t)
-        if v is None:
-            raise AssertionError(f"unset wire target at place {(row, col)}")
-        wires[col, row] = v
-    for (row, col), v in fill.wire_overrides.items():
-        wires[col, row] = v
-
-    public_inputs = [fill.get(t) for t in pd.public_input_targets]
-    assert all(v is not None for v in public_inputs), "unset public input"
+    wires, public_inputs = compute_wire_matrix(pd, pw)
     pi_hash = ps.hash_no_pad_s(public_inputs)
     pd._pi_hash = pi_hash  # stashed for constraint evaluation
 

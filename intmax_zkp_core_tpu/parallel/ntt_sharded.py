@@ -1,0 +1,86 @@
+"""Multi-device NTT via the four-step (Bailey) algorithm with one
+all-to-all stage exchange — the TPU-native analogue of plonky2's
+rayon-parallel FFT (SURVEY §2.3).
+
+Decompose i = i1*n2 + i2 (matrix [n1, n2], row-major), k = k2*n1 + k1:
+
+  A[k1, i2] = sum_{i1} x[i1, i2] * (w^{n2})^{i1 k1}   column NTTs (size n1)
+  B[k1, i2] = A[k1, i2] * w^{i2 k1}                    twiddle
+  X[k2*n1 + k1] = sum_{i2} B[k1, i2] * (w^{n1})^{i2 k2}  row NTTs (size n2)
+
+Sharding: the input matrix is sharded over columns (i2) so the column NTTs
+are local; the stage exchange is one all-to-all re-sharding rows (k1);
+the row NTTs are then local, and a final all-to-all transposes back to
+natural order.  All collectives ride ICI via shard_map.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+from jax.experimental.shard_map import shard_map
+
+from ..ops import goldilocks as gl
+from ..ops import ntt as nt
+
+P = gl.P_INT
+
+
+@lru_cache(maxsize=32)
+def _twiddle_matrix(log_n1: int, log_n2: int):
+    """w^{i2*k1} as [n1, n2] numpy table."""
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    w = gl.primitive_root_of_unity(log_n1 + log_n2)
+    out = np.empty((n1, n2), dtype=np.uint64)
+    for k1 in range(n1):
+        base = pow(w, k1, P)
+        acc = 1
+        for i2 in range(n2):
+            out[k1, i2] = acc
+            acc = acc * base % P
+    return out
+
+
+def ntt_sharded(x: jax.Array, mesh: Mesh, axis_name: str = "d") -> jax.Array:
+    """Single-polynomial NTT of length n = n1*n2 over an n-device-sharded
+    domain; returns evaluations in natural order, sharded over the mesh."""
+    n = x.shape[-1]
+    d = mesh.shape[axis_name]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    # choose n1 = d * k rows so both the column dim and row dim shard evenly
+    log_n1 = log_n // 2
+    n1 = 1 << log_n1
+    n2 = n // n1
+    assert n1 % d == 0 and n2 % d == 0, "n1 and n2 must be divisible by device count"
+
+    tw = jnp.asarray(_twiddle_matrix(log_n1, log_n - log_n1))
+
+    def local_fn(xm, twm):
+        # xm: [n1, n2/d] — this device's column slice
+        # column NTTs of size n1: transpose to batch over local columns
+        a = nt.ntt(jnp.transpose(xm))  # [n2/d, n1]
+        a = jnp.transpose(a)  # [n1, n2/d]
+        b = gl.mul(a, twm)
+        # stage exchange: reshard from column slices (i2) to row slices (k1)
+        b = jax.lax.all_to_all(b, axis_name, split_axis=0, concat_axis=1, tiled=True)
+        # row NTTs of size n2 on [n1/d, n2]
+        c = nt.ntt(b)
+        # transpose back: reshard rows (k1) -> columns (k2); [n1, n2/d]
+        c = jax.lax.all_to_all(c, axis_name, split_axis=1, concat_axis=0, tiled=True)
+        # natural order k = k2*n1 + k1: transpose the local [n1, k2-slice]
+        return jnp.transpose(c).reshape(-1)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(PSpec(None, axis_name), PSpec(None, axis_name)),
+        out_specs=PSpec(axis_name),
+        check_rep=False,
+    )
+    xm = x.reshape(n1, n2)
+    return fn(xm, tw)

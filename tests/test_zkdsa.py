@@ -1,0 +1,79 @@
+"""zkDSA tests mirroring reference ``zkdsa`` test strategy: address hex
+serde, default-signature digest anchor, circuit prove+verify."""
+
+import pytest
+
+from intmax_zkp_core_tpu.engine.config import CircuitConfig, FriConfig
+from intmax_zkp_core_tpu.models.zkdsa import (
+    Account,
+    Address,
+    make_simple_signature_circuit,
+    private_key_to_account,
+)
+from intmax_zkp_core_tpu.models.zkdsa.circuits import SimpleSignaturePublicInputs
+from intmax_zkp_core_tpu.ops.poseidon_constants import (
+    BITEXACT_VERIFIED,
+    REFERENCE_GOLDEN_ZERO_DIGEST,
+)
+from intmax_zkp_core_tpu.utils.hash_out import HashOut
+from intmax_zkp_core_tpu.utils.poseidon_host import two_to_one
+
+
+def test_address_hex_roundtrip():
+    # account.rs:45-58: Address(1) -> "0x0000000000000001", len 18
+    a = Address(1)
+    assert a.to_hex() == "0x0000000000000001"
+    assert Address.from_hex("0x01") == a
+    r = Address.rand()
+    assert len(r.to_hex()) == 18
+    assert Address.from_hex(r.to_hex()) == r
+
+
+def test_account_derivation():
+    sk = HashOut.from_u32(42)
+    acct = private_key_to_account(sk)
+    assert acct.public_key == two_to_one(sk, sk)
+    assert acct.address.value == acct.public_key.elements[0]
+    assert Account.from_json(acct.to_json()) == acct
+
+
+def test_default_signature_structure():
+    d = SimpleSignaturePublicInputs.default()
+    # public_key == signature for the zero key/message (both Poseidon(0||0))
+    assert d.public_key == d.signature
+    assert d.message == HashOut.ZERO
+    enc = d.encode()
+    assert SimpleSignaturePublicInputs.decode(enc) == d
+
+
+@pytest.mark.xfail(
+    not BITEXACT_VERIFIED,
+    reason="pending bit-exact Poseidon constants",
+    strict=True,
+)
+def test_default_signature_reference_digest():
+    # zkdsa/circuits/mod.rs:77-106 golden: Poseidon(0||0)
+    d = SimpleSignaturePublicInputs.default()
+    assert d.public_key.elements == REFERENCE_GOLDEN_ZERO_DIGEST
+    assert (
+        d.public_key.to_hex()
+        == "0xc71603f33a1144ca7953db0ab48808f4c4055e3364a246c33c18a9786cb0b359"
+    )
+
+
+def test_simple_signature_circuit_end_to_end():
+    # the reference's flagship minimal circuit (zkdsa/circuits/mod.rs:350-391)
+    cfg = CircuitConfig(fri=FriConfig(num_query_rounds=4, proof_of_work_bits=2))
+    circuit = make_simple_signature_circuit(cfg)
+    sk = HashOut.from_u32(7)
+    msg = HashOut.from_u32(1234)
+    proof = circuit.prove(sk, msg)
+    pis = circuit.public_inputs(proof)
+    assert pis.message == msg
+    assert pis.public_key == two_to_one(sk, sk)
+    assert pis.signature == two_to_one(sk, msg)
+    circuit.verify(proof)
+    # tamper: claim a different signature
+    proof.public_inputs[8] = (proof.public_inputs[8] + 1) % 0xFFFFFFFF00000001
+    with pytest.raises(AssertionError):
+        circuit.verify(proof)
