@@ -22,9 +22,23 @@ Layout:
   utils/     hex codecs, wrapped digest types
 """
 
+import os
+
 import jax
 
 # Goldilocks field elements are uint64; enable 64-bit types once, at import.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the prover's jitted kernels are large; reuse
+# compilations across processes (first TPU compile can take minutes).
+_cache_dir = os.environ.get(
+    "INTMAX_TPU_JAX_CACHE", os.path.expanduser("~/.cache/intmax_zkp_core_tpu_jax")
+)
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # cache is best-effort
+    pass
 
 __version__ = "0.1.0"

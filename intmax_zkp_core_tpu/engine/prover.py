@@ -83,91 +83,172 @@ def _cap_tuples(tree: mk.MerkleTree) -> list:
     return [tuple(int(x) for x in d) for d in tree.cap]
 
 
-def compute_vanishing_on_coset(
-    pd, wires_lde, zs, pps, betas, gammas, alphas, lde_n: int
-):
-    """Batched evaluation of all constraints on the LDE coset, combined with
-    alpha powers per challenge.  Returns [num_challenges] arrays of [lde_n]."""
-    common = pd.common
-    cfg = common.config
-    n = common.n
-    R = cfg.num_routed_wires
-    alg = BatchAlgebra()
-
-    n_sel = common.n_sel
-    cs_lde = pd.cs_lde  # [n_sel + n_const + R, lde_n]
-    sel_lde = cs_lde[:n_sel]
-    const_lde = cs_lde[n_sel : n_sel + common.n_const_cols]
-    sigma_lde = cs_lde[n_sel + common.n_const_cols :]
-
-    # gate constraints (filtered by selectors)
-    wires_cols = [wires_lde[i] for i in range(cfg.num_wires)]
-    const_cols = [const_lde[i] for i in range(common.n_const_cols)]
-    pi_hash_cols = [jnp.uint64(v) for v in pd._pi_hash]
-    gate_constraints = []
-    for gi, gate_id in enumerate(common.gate_ids):
-        gate = GATE_TYPES[gate_id]
-        if gate.num_constraints == 0:
-            continue
-        cs = gate.eval_constraints(alg, wires_cols, const_cols, pi_hash_cols)
-        sel = sel_lde[gi]
-        gate_constraints.extend(gl.mul(sel, jnp.broadcast_to(c, sel.shape)) for c in cs)
-
-    # domain point values x on the coset
-    log_lde = lde_n.bit_length() - 1
-    w_lde = gl.primitive_root_of_unity(log_lde)
+def _coset_points(lde_n: int) -> np.ndarray:
+    w_lde = gl.primitive_root_of_unity(lde_n.bit_length() - 1)
     xs = np.empty(lde_n, dtype=np.uint64)
     acc = gl.MULTIPLICATIVE_GROUP_GENERATOR % P
     for i in range(lde_n):
         xs[i] = acc
         acc = acc * w_lde % P
-    xs = jnp.asarray(xs)
+    return xs
 
-    # x^n on the coset cycles with period blowup: x_i^n = g^n * w_b^i
-    gshift = pow(gl.MULTIPLICATIVE_GROUP_GENERATOR, n, P)
-    w_b = gl.primitive_root_of_unity(cfg.fri.rate_bits)  # order = blowup
-    xn = np.array(
-        [gshift * pow(w_b, i % cfg.fri.blowup, P) % P for i in range(lde_n)], dtype=np.uint64
-    )
-    z_h = gl.sub(jnp.asarray(xn), jnp.uint64(1))
-    # L_0(x) = (x^n - 1) / (n * (x - 1)) on the coset
-    l0 = gl.mul(z_h, gl.inv(gl.mul(jnp.uint64(n), gl.sub(xs, jnp.uint64(1)))))
 
+def get_circuit_kernels(pd):
+    """Per-circuit jitted device kernels, cached on the prover data (and in
+    the persistent compilation cache across processes).  Shapes and circuit
+    constants are baked; challenges are traced arguments, so every proof of
+    the same circuit reuses one compilation."""
+    if getattr(pd, "_kernels", None) is not None:
+        return pd._kernels
+
+    common = pd.common
+    cfg = common.config
+    n = common.n
+    lde_n = n * cfg.fri.blowup
+    R = cfg.num_routed_wires
     nch = n_chunks(R)
-    vanishing = []
-    for c in range(cfg.num_challenges):
-        beta, gamma = betas[c], gammas[c]
-        Z = zs[c]  # [lde_n]
-        Z_shift = jnp.roll(Z, -cfg.fri.blowup)  # Z(g*x) on natural-order lde
-        terms = []
-        # L_0 * (Z - 1)
-        terms.append(gl.mul(l0, gl.sub(Z, jnp.uint64(1))))
-        # chunk constraints
-        prev = Z
-        for j in range(nch):
-            lo, hi = j * CHUNK, min((j + 1) * CHUNK, R)
-            f = None
-            g = None
-            for i in range(lo, hi):
-                v = wires_lde[i]
-                # id_i = k_i * x ;  f factor = v + beta*k_i*x + gamma
-                fid = gl.add(gl.add(v, gl.mul(jnp.uint64(beta * common.k_is[i] % P), xs)), jnp.uint64(gamma))
-                gs = gl.add(gl.add(v, gl.mul(jnp.uint64(beta), sigma_lde[i])), jnp.uint64(gamma))
-                f = fid if f is None else gl.mul(f, fid)
-                g = gs if g is None else gl.mul(g, gs)
-            nxt = Z_shift if j == nch - 1 else pps[c][j]
-            terms.append(gl.sub(gl.mul(nxt, g), gl.mul(prev, f)))
-            prev = pps[c][j] if j < nch - 1 else None
-        terms.extend(gate_constraints)
-        # alpha-combine
-        alpha = alphas[c]
-        acc = jnp.zeros((lde_n,), dtype=jnp.uint64)
-        apow = 1
-        for t in terms:
-            acc = gl.add(acc, gl.mul(jnp.uint64(apow), jnp.broadcast_to(t, (lde_n,))))
-            apow = apow * alpha % P
-        vanishing.append(acc)
-    return vanishing, z_h
+    C = cfg.num_challenges
+
+    n_sel = common.n_sel
+    cs_lde_c = jnp.asarray(pd.cs_lde)
+    sel_lde = cs_lde_c[:n_sel]
+    const_lde = cs_lde_c[n_sel : n_sel + common.n_const_cols]
+    sigma_lde_c = cs_lde_c[n_sel + common.n_const_cols :]
+    k_is_c = jnp.asarray(np.array(common.k_is, dtype=np.uint64))  # [R]
+
+    xs_np = _coset_points(lde_n)
+    xs_c = jnp.asarray(xs_np)
+    gshift = pow(gl.MULTIPLICATIVE_GROUP_GENERATOR, n, P)
+    w_b = gl.primitive_root_of_unity(cfg.fri.rate_bits)
+    xn = np.array(
+        [gshift * pow(w_b, i % cfg.fri.blowup, P) % P for i in range(lde_n)],
+        dtype=np.uint64,
+    )
+    z_h_np = (xn.astype(object) - 1) % P
+    z_h_c = jnp.asarray(z_h_np.astype(np.uint64))
+    l0_c = gl.mul(z_h_c, gl.inv(gl.mul(jnp.uint64(n), gl.sub(xs_c, jnp.uint64(1)))))
+    inv_shift = pow(gl.MULTIPLICATIVE_GROUP_GENERATOR, P - 2, P)
+    shift_pows = np.empty(lde_n, dtype=np.uint64)
+    acc = 1
+    for i in range(lde_n):
+        shift_pows[i] = acc
+        acc = acc * inv_shift % P
+    shift_pows_c = jnp.asarray(shift_pows)
+
+    id_vals = np.empty((R, n), dtype=np.uint64)
+    for i in range(R):
+        id_vals[i] = (common.k_is[i] * pd.w_pows.astype(object)) % P
+    id_vals_c = jnp.asarray(id_vals)
+    sigma_c = jnp.asarray(pd.sigma)
+
+    @jax.jit
+    def perm_columns(wires, betas, gammas):
+        """wires [R, n]; betas/gammas [C] -> (z_cols [C, n], pp [C, nch-1, n],
+        wrap [C] which must be all-ones)."""
+        ones = jnp.ones((1, n), dtype=jnp.uint64)
+
+        def per_challenge(beta, gamma):
+            f_fac = gl.add(gl.add(wires[:R], gl.mul(beta, id_vals_c)), gamma)  # [R, n]
+            g_fac = gl.add(gl.add(wires[:R], gl.mul(beta, sigma_c)), gamma)
+            pad = nch * CHUNK - R
+            if pad:
+                f_fac = jnp.concatenate([f_fac, jnp.ones((pad, n), jnp.uint64)], axis=0)
+                g_fac = jnp.concatenate([g_fac, jnp.ones((pad, n), jnp.uint64)], axis=0)
+            f_fac = f_fac.reshape(nch, CHUNK, n)
+            g_fac = g_fac.reshape(nch, CHUNK, n)
+
+            def chunk_prod(m):
+                out = m[:, 0]
+                for k in range(1, CHUNK):
+                    out = gl.mul(out, m[:, k])
+                return out  # [nch, n]
+
+            f_ch = chunk_prod(f_fac)
+            g_ch = chunk_prod(g_fac)
+            # prefix products over chunks
+            f_pref = [f_ch[0]]
+            g_pref = [g_ch[0]]
+            for j in range(1, nch):
+                f_pref.append(gl.mul(f_pref[-1], f_ch[j]))
+                g_pref.append(gl.mul(g_pref[-1], g_ch[j]))
+            f_pref = jnp.stack(f_pref)  # [nch, n]
+            g_pref = jnp.stack(g_pref)
+            g_pref_inv = gl.inv(g_pref)
+            row_quot = gl.mul(f_pref[-1], g_pref_inv[-1])  # [n]
+            cum = jax.lax.associative_scan(gl.mul, row_quot)  # [n]
+            z = jnp.concatenate([jnp.ones((1,), jnp.uint64), cum[:-1]])
+            pp = gl.mul(z, gl.mul(f_pref[:-1], g_pref_inv[:-1]))  # [nch-1, n]
+            return z, pp, cum[-1]
+
+        zs, pps, wraps = jax.vmap(per_challenge)(betas, gammas)
+        return zs, pps, wraps
+
+    def quotient_trace(wires_lde, zs_lde, pps_lde, betas, gammas, alphas, pi_hash):
+        """wires_lde [W, lde_n]; zs_lde [C, lde_n]; pps_lde [C, nch-1, lde_n];
+        challenges [C]; pi_hash [4] -> quotient coefficient chunks
+        [C*blowup, n]."""
+        alg = BatchAlgebra()
+        wires_cols = [wires_lde[i] for i in range(cfg.num_wires)]
+        const_cols = [const_lde[i] for i in range(common.n_const_cols)]
+        pi_cols = [pi_hash[i] for i in range(4)]
+        gate_constraints = []
+        for gi, gate_id in enumerate(common.gate_ids):
+            gate = GATE_TYPES[gate_id]
+            if gate.num_constraints == 0:
+                continue
+            batched = getattr(gate, "eval_constraints_batched", None)
+            if batched is not None:
+                cs = batched(wires_cols, const_cols, pi_cols)
+            else:
+                cs = gate.eval_constraints(alg, wires_cols, const_cols, pi_cols)
+            sel = sel_lde[gi]
+            gate_constraints.extend(
+                gl.mul(sel, jnp.broadcast_to(c, sel.shape)) for c in cs
+            )
+
+        z_h_inv = gl.inv(z_h_c)
+        out_chunks = []
+        for c in range(C):
+            beta, gamma, alpha = betas[c], gammas[c], alphas[c]
+            Z = zs_lde[c]
+            Z_shift = jnp.roll(Z, -cfg.fri.blowup)
+            terms = [gl.mul(l0_c, gl.sub(Z, jnp.uint64(1)))]
+            prev = Z
+            for j in range(nch):
+                lo, hi = j * CHUNK, min((j + 1) * CHUNK, R)
+                f = None
+                g = None
+                for i in range(lo, hi):
+                    v = wires_lde[i]
+                    fid = gl.add(gl.add(v, gl.mul(gl.mul(beta, k_is_c[i]), xs_c)), gamma)
+                    gs = gl.add(gl.add(v, gl.mul(beta, sigma_lde_c[i])), gamma)
+                    f = fid if f is None else gl.mul(f, fid)
+                    g = gs if g is None else gl.mul(g, gs)
+                nxt = Z_shift if j == nch - 1 else pps_lde[c][j]
+                terms.append(gl.sub(gl.mul(nxt, g), gl.mul(prev, f)))
+                if j < nch - 1:
+                    prev = pps_lde[c][j]
+            terms.extend(gate_constraints)
+            acc = jnp.zeros((lde_n,), dtype=jnp.uint64)
+            apow = jnp.uint64(1)
+            for t in terms:
+                acc = gl.add(acc, gl.mul(apow, jnp.broadcast_to(t, (lde_n,))))
+                apow = gl.mul(apow, alpha)
+            q_evals = gl.mul(acc, z_h_inv)
+            coeffs = nt.intt(q_evals[None, :])[0]
+            coeffs = gl.mul(coeffs, shift_pows_c)
+            out_chunks.append(coeffs.reshape(cfg.fri.blowup, n))
+        return jnp.concatenate(out_chunks, axis=0)
+
+    # jit the (large) quotient graph on accelerators; on CPU the XLA compile
+    # cost outweighs eager dispatch for typical circuit sizes
+    use_jit = jax.default_backend() != "cpu"
+    kernels = {
+        "perm_columns": perm_columns,
+        "quotient": jax.jit(quotient_trace) if use_jit else quotient_trace,
+    }
+    pd._kernels = kernels
+    return kernels
 
 
 def compute_wire_matrix(pd, pw: PartialWitness):
@@ -214,7 +295,11 @@ def check_witness(circuit_data: CircuitData, pw: PartialWitness) -> list:
         gate = _GT[gate_id]
         if gate.num_constraints == 0:
             continue
-        cs = gate.eval_constraints(alg, wires_cols, const_cols, pi_hash_cols)
+        batched = getattr(gate, "eval_constraints_batched", None)
+        if batched is not None:
+            cs = batched(wires_cols, const_cols, pi_hash_cols)
+        else:
+            cs = gate.eval_constraints(alg, wires_cols, const_cols, pi_hash_cols)
         sel_col = jnp.asarray(sel[gi])
         for k, c in enumerate(cs):
             vals = np.asarray(gl.mul(sel_col, jnp.broadcast_to(c, sel_col.shape)))
@@ -250,65 +335,41 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     betas = challenger.get_n_challenges(cfg.num_challenges)
     gammas = challenger.get_n_challenges(cfg.num_challenges)
 
-    # ---- 3. permutation argument columns (host, exact) ----
+    # ---- 3. permutation argument columns (device kernel) ----
     nch = n_chunks(R)
-    sigma = pd.sigma
-    w_pows = pd.w_pows
-    z_cols = np.zeros((cfg.num_challenges, n), dtype=np.uint64)
-    pp_cols = np.zeros((cfg.num_challenges, nch - 1, n), dtype=np.uint64)
-    for c in range(cfg.num_challenges):
-        beta, gamma = betas[c], gammas[c]
-        z = 1
-        for row in range(n):
-            z_cols[c, row] = z
-            running = z
-            for j in range(nch):
-                lo, hi = j * CHUNK, min((j + 1) * CHUNK, R)
-                f = g = 1
-                for i in range(lo, hi):
-                    v = int(wires[i, row])
-                    idv = common.k_is[i] * int(w_pows[row]) % P
-                    f = f * ((v + beta * idv + gamma) % P) % P
-                    g = g * ((v + beta * int(sigma[i, row]) + gamma) % P) % P
-                running = running * f % P * pow(g, P - 2, P) % P
-                if j < nch - 1:
-                    pp_cols[c, j, row] = running
-            z = running
-        # wraparound sanity: product over the domain is 1
-        assert z == 1, "permutation argument product != 1 (sigma inconsistent)"
-
+    kernels = get_circuit_kernels(pd)
+    betas_arr = jnp.asarray(np.array(betas, dtype=np.uint64))
+    gammas_arr = jnp.asarray(np.array(gammas, dtype=np.uint64))
+    z_cols_d, pp_cols_d, wraps = kernels["perm_columns"](
+        jnp.asarray(wires[:R]), betas_arr, gammas_arr
+    )
+    assert (np.asarray(wraps) == 1).all(), (
+        "permutation argument product != 1 (sigma inconsistent)"
+    )
     zs_pp_matrix = np.concatenate(
-        [z_cols, pp_cols.reshape(cfg.num_challenges * (nch - 1), n)], axis=0
+        [np.asarray(z_cols_d), np.asarray(pp_cols_d).reshape(cfg.num_challenges * (nch - 1), n)],
+        axis=0,
     )
     zspp_coeffs, zspp_lde, zs_pp_tree = _commit(zs_pp_matrix, fri_cfg.rate_bits, fri_cfg.cap_height)
     challenger.observe_cap(_cap_tuples(zs_pp_tree))
     alphas = challenger.get_n_challenges(cfg.num_challenges)
 
-    # ---- 4. quotient ----
-    zs_lde = [zspp_lde[c] for c in range(cfg.num_challenges)]
-    pps_lde = [
-        [zspp_lde[cfg.num_challenges + c * (nch - 1) + j] for j in range(nch - 1)]
-        for c in range(cfg.num_challenges)
-    ]
-    vanishing, z_h = compute_vanishing_on_coset(
-        pd, jnp.asarray(wire_lde), zs_lde, pps_lde, betas, gammas, alphas, lde_n
+    # ---- 4. quotient (one jitted kernel per circuit) ----
+    zs_lde_arr = jnp.asarray(zspp_lde[: cfg.num_challenges])
+    pps_lde_arr = jnp.asarray(
+        zspp_lde[cfg.num_challenges :].reshape(cfg.num_challenges, nch - 1, lde_n)
     )
-    z_h_inv = gl.inv(jnp.asarray(z_h))
-    quotient_cols = []
-    for c in range(cfg.num_challenges):
-        q_evals = gl.mul(vanishing[c], z_h_inv)
-        # full-length inverse coset transform -> coefficients of degree < 8n
-        coeffs = nt.intt(q_evals[None, :])[0]
-        inv_shift = pow(gl.MULTIPLICATIVE_GROUP_GENERATOR, P - 2, P)
-        shift_pows = np.empty(lde_n, dtype=np.uint64)
-        acc = 1
-        for i in range(lde_n):
-            shift_pows[i] = acc
-            acc = acc * inv_shift % P
-        coeffs = np.asarray(gl.mul(coeffs, jnp.asarray(shift_pows)))
-        chunks = coeffs.reshape(fri_cfg.blowup, n)  # chunk i = coeffs[i*n:(i+1)*n]
-        quotient_cols.extend(chunks)
-    quotient_matrix = np.stack(quotient_cols, axis=0)  # coefficient chunks
+    quotient_matrix = np.asarray(
+        kernels["quotient"](
+            jnp.asarray(wire_lde),
+            zs_lde_arr,
+            pps_lde_arr,
+            betas_arr,
+            gammas_arr,
+            jnp.asarray(np.array(alphas, dtype=np.uint64)),
+            jnp.asarray(np.array(pi_hash, dtype=np.uint64)),
+        )
+    )
     quot_coeffs, quot_lde, quotient_tree = _commit(
         quotient_matrix, fri_cfg.rate_bits, fri_cfg.cap_height, from_coeffs=True
     )

@@ -64,7 +64,11 @@ def run_block_flow(
     constants: RollupConstants | None = None,
     config: CircuitConfig | None = None,
     prove: bool = True,
+    recursive: bool = False,
 ):
+    """``recursive=True`` verifies the user-tx/signature proofs in-circuit
+    (full reference parity, much larger block circuit); ``False`` uses the
+    trusted-aggregation mode (host-verified inner proofs)."""
     constants = constants or RollupConstants.test_constants()
     config = config or CircuitConfig.standard_recursion_config()
 
@@ -232,7 +236,8 @@ def run_block_flow(
     default_signature_proof = _prove_or_check(zkdsa_circuit, pw, prove)
 
     block_circuit = make_block_proof_circuit(
-        constants, merge_and_purge_circuit, zkdsa_circuit, config
+        constants, merge_and_purge_circuit, zkdsa_circuit, config,
+        recursive=recursive and prove,
     )
 
     block_number = prev_block_header.block_number + 1

@@ -434,6 +434,7 @@ def make_block_proof_circuit(
     merge_and_purge_circuit: MergeAndPurgeTransitionCircuit,
     simple_signature_circuit: SimpleSignatureCircuit,
     config: CircuitConfig | None = None,
+    recursive: bool = True,
 ) -> BlockProductionCircuit:
     """``rollup/circuits/mod.rs:389-624``.
 
@@ -473,7 +474,9 @@ def make_block_proof_circuit(
     )
 
     user_tx_proofs = [
-        RecursiveProofTarget.add_virtual_to(builder, merge_and_purge_circuit.data)
+        RecursiveProofTarget.add_virtual_to(
+            builder, merge_and_purge_circuit.data, in_circuit=recursive
+        )
         for _ in range(n_txs)
     ]
     for u, p, a in zip(
@@ -490,7 +493,9 @@ def make_block_proof_circuit(
         )
 
     received_signature_proofs = [
-        RecursiveProofTarget.add_virtual_to(builder, simple_signature_circuit.data)
+        RecursiveProofTarget.add_virtual_to(
+            builder, simple_signature_circuit.data, in_circuit=recursive
+        )
         for _ in range(n_txs)
     ]
     for r, a in zip(
