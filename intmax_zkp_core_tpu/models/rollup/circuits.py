@@ -429,6 +429,38 @@ class BlockProductionCircuit:
         self.data.verify(proof_with_pis.proof)
 
 
+def prove_block_production(
+    rollup_constants: RollupConstants,
+    detail: BlockDetail,
+    config: CircuitConfig | None = None,
+    recursive: bool = True,
+):
+    """One-shot flow (``rollup/circuits/mod.rs:1272-1326``): build the user
+    and signature circuits, prove their defaults for disabled slots, build
+    the block circuit, prove and verify."""
+    from ..transaction.circuits import make_user_proof_circuit
+    from ..zkdsa.circuits import make_simple_signature_circuit
+
+    user_circuit = make_user_proof_circuit(rollup_constants, config)
+    pw = PartialWitness()
+    user_circuit.targets.set_witness(pw, Address(0), [], [], [], HashOut.ZERO, HashOut.ZERO)
+    default_user_tx_proof = user_circuit.data.prove(pw)
+
+    sig_circuit = make_simple_signature_circuit(config)
+    pw = PartialWitness()
+    sig_circuit.targets.set_witness(pw, HashOut.ZERO, HashOut.ZERO)
+    default_signature_proof = sig_circuit.data.prove(pw)
+
+    block_circuit = make_block_proof_circuit(
+        rollup_constants, user_circuit, sig_circuit, config, recursive=recursive
+    )
+    proof = block_circuit.set_witness_and_prove(
+        detail, default_user_tx_proof, default_signature_proof
+    )
+    block_circuit.verify(proof)
+    return block_circuit, proof
+
+
 def make_block_proof_circuit(
     rollup_constants: RollupConstants,
     merge_and_purge_circuit: MergeAndPurgeTransitionCircuit,

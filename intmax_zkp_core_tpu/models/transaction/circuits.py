@@ -201,6 +201,19 @@ class MergeAndPurgeTransitionCircuit:
         return MergeAndPurgeTransitionPublicInputs.decode(proof.public_inputs)
 
 
+def prove_user_transaction(
+    rollup_constants: RollupConstants,
+    transition: MergeAndPurgeTransition,
+    config: CircuitConfig | None = None,
+):
+    """One-shot build + prove + verify (``circuits/mod.rs:496-532``).
+    Returns (circuit, proof)."""
+    circuit = make_user_proof_circuit(rollup_constants, config)
+    proof = circuit.prove_transition(transition)
+    circuit.verify(proof)
+    return circuit, proof
+
+
 def make_user_proof_circuit(
     rollup_constants: RollupConstants, config: CircuitConfig | None = None
 ) -> MergeAndPurgeTransitionCircuit:

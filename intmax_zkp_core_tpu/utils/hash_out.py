@@ -117,3 +117,44 @@ class HashOut:
 
 
 HashOut.ZERO = HashOut(ZERO_ELEMENTS)
+
+
+# --- secp256k1 <-> Goldilocks limb codec (reference
+# ``hash/secp256k1.rs:12-56``, ecdsa feature): pack a 256-bit secp256k1
+# base/scalar value into 4 Goldilocks limbs positionally (base p). ---
+
+SECP256K1_SCALAR_ORDER = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
+SECP256K1_BASE_ORDER = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFC2F
+
+
+def _from_noncanonical_uint(value: int) -> HashOut:
+    elements = []
+    for _ in range(4):
+        elements.append(value % P)
+        value //= P
+    return HashOut(tuple(elements))
+
+
+def _to_canonical_uint(h: HashOut, order: int) -> int:
+    result = 0
+    power = 1
+    for e in h.elements:
+        result += e * power
+        power *= P
+    return result % order
+
+
+def from_noncanonical_secp256k1_scalar(value: int) -> HashOut:
+    return _from_noncanonical_uint(value % SECP256K1_SCALAR_ORDER)
+
+
+def to_canonical_secp256k1_scalar(h: HashOut) -> int:
+    return _to_canonical_uint(h, SECP256K1_SCALAR_ORDER)
+
+
+def from_noncanonical_secp256k1_base(value: int) -> HashOut:
+    return _from_noncanonical_uint(value % SECP256K1_BASE_ORDER)
+
+
+def to_canonical_secp256k1_base(h: HashOut) -> int:
+    return _to_canonical_uint(h, SECP256K1_BASE_ORDER)
