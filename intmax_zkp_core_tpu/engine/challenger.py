@@ -42,7 +42,7 @@ class Challenger:
         for i, x in enumerate(self.input_buffer):
             self.sponge_state[i] = x
         self.input_buffer.clear()
-        self.sponge_state = ps.permute_s(self.sponge_state)
+        self.sponge_state = ps.permute_host(self.sponge_state)
         self.output_buffer = list(self.sponge_state[:RATE])
 
     def get_challenge(self) -> int:

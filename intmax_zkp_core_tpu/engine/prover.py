@@ -311,6 +311,30 @@ def check_witness(circuit_data: CircuitData, pw: PartialWitness) -> list:
     return public_inputs
 
 
+class _PhaseTimer:
+    """Per-phase wall-clock tracing, enabled with INTMAX_TPU_TRACE=1
+    (the reference only has ad-hoc Instant::now prints, SURVEY §5.1)."""
+
+    def __init__(self):
+        import os
+
+        self.enabled = os.environ.get("INTMAX_TPU_TRACE") == "1"
+        self._t = None
+        self._name = None
+
+    def phase(self, name: str) -> None:
+        import time
+
+        now = time.perf_counter()
+        if self.enabled and self._name is not None:
+            print(f"[prove] {self._name}: {now - self._t:.3f}s", flush=True)
+        self._t = now
+        self._name = name
+
+    def done(self) -> None:
+        self.phase("_end")
+
+
 def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     pd = circuit_data.prover
     common = pd.common
@@ -319,10 +343,13 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     fri_cfg = cfg.fri
     lde_n = n * fri_cfg.blowup
     R = cfg.num_routed_wires
+    timer = _PhaseTimer()
+    timer.phase("witness")
 
     # ---- 1. witness fill ----
     wires, public_inputs = compute_wire_matrix(pd, pw)
     pi_hash = ps.hash_no_pad_s(public_inputs)
+    timer.phase("commit_wires")
     pd._pi_hash = pi_hash  # stashed for constraint evaluation
 
     # ---- 2. commit wires ----
@@ -335,6 +362,7 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     betas = challenger.get_n_challenges(cfg.num_challenges)
     gammas = challenger.get_n_challenges(cfg.num_challenges)
 
+    timer.phase("perm_columns")
     # ---- 3. permutation argument columns (device kernel) ----
     nch = n_chunks(R)
     kernels = get_circuit_kernels(pd)
@@ -354,6 +382,7 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     challenger.observe_cap(_cap_tuples(zs_pp_tree))
     alphas = challenger.get_n_challenges(cfg.num_challenges)
 
+    timer.phase("quotient")
     # ---- 4. quotient (one jitted kernel per circuit) ----
     zs_lde_arr = jnp.asarray(zspp_lde[: cfg.num_challenges])
     pps_lde_arr = jnp.asarray(
@@ -376,6 +405,7 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     challenger.observe_cap(_cap_tuples(quotient_tree))
     zeta = challenger.get_extension_challenge()
 
+    timer.phase("openings")
     # ---- 5. openings at zeta (and g*zeta for Z columns) ----
     g_n = gl.primitive_root_of_unity(n.bit_length() - 1)
     zeta_arr = jnp.asarray(np.array(zeta, dtype=np.uint64))
@@ -402,6 +432,7 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
         for o in openings[name]:
             challenger.observe_ext(o)
 
+    timer.phase("fri")
     # ---- 6. FRI ----
     alpha_fri = challenger.get_extension_challenge()
     alpha_arr = jnp.asarray(np.array(alpha_fri, dtype=np.uint64))
@@ -500,6 +531,7 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
         query_rounds=rounds,
     )
 
+    timer.done()
     return Proof(
         wires_cap=_cap_tuples(wires_tree),
         zs_pp_cap=_cap_tuples(zs_pp_tree),

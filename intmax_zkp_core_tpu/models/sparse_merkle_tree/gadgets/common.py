@@ -63,10 +63,35 @@ def calc_internal_hash(
     return builder.two_to_one_swapped(child, sibling, swap)
 
 
+def element_wise_arithmetic(
+    builder: CircuitBuilder, c0: int, c1: int, x: HashOutTarget, y: HashOutTarget,
+    addend: HashOutTarget,
+) -> HashOutTarget:
+    """Per-limb c0*x*y + c1*addend (``common.rs:157-177``)."""
+    return HashOutTarget(
+        tuple(
+            builder.arithmetic(c0, c1, xi, yi, ai)
+            for xi, yi, ai in zip(x, y, addend)
+        )
+    )
+
+
 def element_wise_add(
     builder: CircuitBuilder, x: HashOutTarget, y: HashOutTarget
 ) -> HashOutTarget:
     return HashOutTarget(tuple(builder.add(a, b) for a, b in zip(x, y)))
+
+
+def element_wise_sub(
+    builder: CircuitBuilder, x: HashOutTarget, y: HashOutTarget
+) -> HashOutTarget:
+    return HashOutTarget(tuple(builder.sub(a, b) for a, b in zip(x, y)))
+
+
+def element_wise_mul(
+    builder: CircuitBuilder, x: HashOutTarget, y: HashOutTarget
+) -> HashOutTarget:
+    return HashOutTarget(tuple(builder.mul(a, b) for a, b in zip(x, y)))
 
 
 def logical_and_not(builder: CircuitBuilder, x: BoolTarget, y: BoolTarget) -> BoolTarget:

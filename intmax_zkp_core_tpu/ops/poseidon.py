@@ -183,8 +183,25 @@ def permute_s(state):
     return state
 
 
+def permute_host(state):
+    """Scalar permutation dispatching to the native C++ accelerator when
+    available (exact Python fallback otherwise)."""
+    from ..native.loader import native_permute_batch
+
+    out = native_permute_batch(np.array([state], dtype=np.uint64))
+    if out is not None:
+        return [int(x) for x in out[0]]
+    return permute_s(state)
+
+
 def hash_n_to_m_no_pad_s(inputs, num_outputs=4):
     inputs = [int(x) for x in inputs]
+    if num_outputs == 4:
+        from ..native.loader import native_hash_no_pad
+
+        out = native_hash_no_pad(inputs)
+        if out is not None:
+            return list(out)
     state = [0] * SPONGE_WIDTH
     for start in range(0, len(inputs), SPONGE_RATE):
         chunk = inputs[start : start + SPONGE_RATE]

@@ -123,3 +123,22 @@ def test_select_split_is_equal_gadgets():
     proof = data.prove(pw)
     assert proof.public_inputs == [13, 9, 0, 9, 1]  # 13 != 9 -> select b; bit0(13)=1
     data.verify(proof)
+
+
+def test_proof_json_roundtrip():
+    from intmax_zkp_core_tpu.engine.serde import proof_from_json, proof_to_json
+
+    builder = CircuitBuilder(tiny_config())
+    x = builder.add_virtual_target()
+    y = builder.mul(x, x)
+    builder.register_public_input(y)
+    data = builder.build()
+    pw = PartialWitness()
+    pw.set_target(x, 6)
+    proof = data.prove(pw)
+    import json
+
+    encoded = json.dumps(proof_to_json(proof))
+    back = proof_from_json(json.loads(encoded))
+    data.verify(back)
+    assert back.public_inputs == [36]
