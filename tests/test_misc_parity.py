@@ -111,3 +111,32 @@ def test_block_header_serde_and_hash():
     assert BlockHeader.from_json(j) == h
     assert get_block_hash(h) != HashOut.ZERO
     assert log2_ceil(6) == 3 and log2_ceil(1) == 0 and log2_ceil(8) == 3
+
+
+def test_make_deposit_proof():
+    # rollup/deposit.rs:46-135: 3 bridge trees, roots combined with chain
+    # indices, dense + SMT inclusion proof pairs for a receiver
+    from intmax_zkp_core_tpu.models.merkle_tree.tree import get_merkle_root
+    from intmax_zkp_core_tpu.models.rollup.deposit import make_deposit_proof
+    from intmax_zkp_core_tpu.utils.hash_out import HashOut
+    from intmax_zkp_core_tpu.utils.poseidon_host import two_to_one
+
+    receiver = Address(42)
+    deposits = [
+        DepositInfo(
+            receiver_address=receiver,
+            contract_address=Address(1),
+            variable_index=VariableIndex(0),
+            amount=5,
+        )
+    ]
+    proofs = make_deposit_proof(deposits, [], [], receiver, num_log_txs=2)
+    assert len(proofs) == 3
+    dense0, smt0 = proofs[0]
+    # the deposit bridge contains the receiver; empty bridges do not
+    assert smt0.found
+    assert not proofs[1][1].found
+    # dense proof folds to the combined root
+    assert get_merkle_root(dense0.index, dense0.value, dense0.siblings) == dense0.root
+    # leaf 0 = Poseidon(deposit_tree_root || chain_index 0)
+    assert dense0.value == two_to_one(smt0.root, HashOut.ZERO)
