@@ -40,7 +40,7 @@ def make_distributed_prove_step(mesh: Mesh, axis_name: str = "d"):
     d = mesh.shape[axis_name]
 
     def local_hash_and_root(states):
-        hashed = ps.permute(states)  # [B/d, 12]
+        hashed = ps.permute_auto(states)  # [B/d, 12] (Pallas kernel on TPU)
         local_root = _local_merkle_root(hashed[:, :4])
         roots = jax.lax.all_gather(local_root, axis_name)  # [d, 4]
         root = _local_merkle_root(roots)

@@ -21,3 +21,24 @@ def test_pallas_kernel_interpret_matches_scalar():
     out = np.asarray(permute_pallas(jnp.asarray(x), True))
     for i in [0, 1, 2, 3, 255]:
         assert [int(v) for v in out[i]] == permute_s([int(v) for v in x[i]]), i
+
+
+def test_permute_via_pallas_padding_and_reshape():
+    # _permute_via_pallas must agree with the jnp path for non-tile-multiple
+    # row counts and multi-dim leading batches (interpret mode on CPU)
+    from intmax_zkp_core_tpu.ops.poseidon import _permute_via_pallas, permute
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.integers(0, P, size=(3, 100, 12), dtype=np.uint64))
+    out = np.asarray(_permute_via_pallas(x, True))
+    ref = np.asarray(permute(x))
+    assert (out == ref).all()
+
+
+def test_permute_auto_cpu_dispatch():
+    # on the CPU backend permute_auto must be the plain jnp path
+    from intmax_zkp_core_tpu.ops.poseidon import permute, permute_auto
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.integers(0, P, size=(300, 12), dtype=np.uint64))
+    assert (np.asarray(permute_auto(x)) == np.asarray(permute(x))).all()
