@@ -18,7 +18,7 @@ import numpy as np
 REFERENCE_CPU_HASHES_PER_S = 0.8e6
 
 
-def _measure(batch: int = 1 << 15, iters: int = 30) -> float:
+def _measure(batch: int = 1 << 15, iters: int = 32) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -41,13 +41,24 @@ def _measure(batch: int = 1 << 15, iters: int = 30) -> float:
                 fn = fn_pallas
         except Exception:
             pass
-    fn(states).block_until_ready()  # warm-up / compile
-    t0 = time.perf_counter()
-    out = states
-    for _ in range(iters):
-        out = fn(out)
-    out.block_until_ready()
-    return batch * iters / (time.perf_counter() - t0)
+
+    def chain(n: int) -> float:
+        # Time n chained dispatches ended by a tiny host readback — on
+        # remote/tunneled devices block_until_ready can return before the
+        # work is done, so the readback is what anchors the measurement.
+        t0 = time.perf_counter()
+        out = states
+        for _ in range(n):
+            out = fn(out)
+        np.asarray(out[:1])
+        return time.perf_counter() - t0
+
+    np.asarray(fn(states))  # warm-up / compile
+    # Difference two chain lengths to cancel fixed per-call overhead
+    # (dispatch RTT, readback) and report pure steady-state throughput.
+    t_short = min(chain(4) for _ in range(3))
+    t_long = min(chain(4 + iters) for _ in range(3))
+    return batch * iters / max(t_long - t_short, 1e-9)
 
 
 def main():
