@@ -38,10 +38,10 @@ _RC_LO = _RC_LO.astype(np.uint32)
 _RC_HI = _RC_HI.astype(np.uint32)
 
 
-def _make_kernel(tb: int):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+def _make_permute_body():
+    """Returns ``permute_tile(lo, hi, rc_lo, rc_hi) -> (lo, hi)``: the full
+    30-round permutation over [12, TB] u32 limb planes, shared by the plain
+    permutation kernel and the fused sponge kernel."""
     u32 = jnp.uint32
 
     def add64(alo, ahi, blo, bhi):
@@ -147,11 +147,7 @@ def _make_kernel(tb: int):
     circ = MDS_MATRIX_CIRC
     diag0 = MDS_MATRIX_DIAG[0]
 
-    def kernel(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref, out_lo_ref, out_hi_ref):
-        lo = lo_ref[:]  # [12, TB]
-        hi = hi_ref[:]
-        rc_lo = rc_lo_ref[:]
-        rc_hi = rc_hi_ref[:]
+    def permute_tile(lo, hi, rc_lo, rc_hi):
         for rnd in range(N_ROUNDS):
             # constant layer
             rlo = rc_lo[rnd][:, None]
@@ -205,10 +201,90 @@ def _make_kernel(tb: int):
             c6 = (n1 < acclh).astype(u32)
             n2 = acchh + c6
             lo, hi = reduce128(accll, n1, n2, jnp.zeros_like(n2))
+        return lo, hi
+
+    return permute_tile
+
+
+def _make_kernel(tb: int):
+    permute_tile = _make_permute_body()
+
+    def kernel(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref, out_lo_ref, out_hi_ref):
+        lo, hi = permute_tile(lo_ref[:], hi_ref[:], rc_lo_ref[:], rc_hi_ref[:])
         out_lo_ref[:] = lo
         out_hi_ref[:] = hi
 
     return kernel
+
+
+def _make_sponge_kernel(width: int):
+    """Fused rate-8 overwrite-absorb sponge over [width, TB] input planes:
+    the whole ceil(width/8)-permutation chain runs in VMEM, emitting only
+    the 4 digest lanes (plonky2 hash_n_to_hash_no_pad semantics)."""
+    permute_tile = _make_permute_body()
+
+    def kernel(in_lo_ref, in_hi_ref, rc_lo_ref, rc_hi_ref, out_lo_ref, out_hi_ref):
+        rc_lo = rc_lo_ref[:]
+        rc_hi = rc_hi_ref[:]
+        in_lo = in_lo_ref[:]  # [width, TB]
+        in_hi = in_hi_ref[:]
+        lo = jnp.zeros((SPONGE_WIDTH,) + in_lo.shape[1:], dtype=jnp.uint32)
+        hi = jnp.zeros_like(lo)
+        for start in range(0, width, 8):
+            c = min(8, width - start)
+            lo = jnp.concatenate([in_lo[start : start + c], lo[c:]], axis=0)
+            hi = jnp.concatenate([in_hi[start : start + c], hi[c:]], axis=0)
+            lo, hi = permute_tile(lo, hi, rc_lo, rc_hi)
+        out_lo_ref[:] = lo[:4]
+        out_hi_ref[:] = hi[:4]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(1,))
+def hash_no_pad_pallas(inputs: jax.Array, interpret: bool = False) -> jax.Array:
+    """inputs [B, width] uint64 -> [B, 4] digests via the fused sponge
+    kernel (B must be a multiple of 256, width > 4)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, width = inputs.shape
+    TB = 256
+    assert B % TB == 0
+    st = jnp.transpose(inputs)  # [width, B]
+    lo = (st & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (st >> jnp.uint64(32)).astype(jnp.uint32)
+
+    kernel = _make_sponge_kernel(width)
+    out_lo, out_hi = pl.pallas_call(
+        kernel,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((width, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (N_ROUNDS, 12),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (N_ROUNDS, 12),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((4, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, B), jnp.uint32),
+            jax.ShapeDtypeStruct((4, B), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(lo, hi, jnp.asarray(_RC_LO), jnp.asarray(_RC_HI))
+    out = out_lo.astype(jnp.uint64) | (out_hi.astype(jnp.uint64) << jnp.uint64(32))
+    return jnp.transpose(out)
 
 
 @partial(jax.jit, static_argnums=(1,))

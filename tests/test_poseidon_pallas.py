@@ -42,3 +42,21 @@ def test_permute_auto_cpu_dispatch():
     rng = np.random.default_rng(13)
     x = jnp.asarray(rng.integers(0, P, size=(300, 12), dtype=np.uint64))
     assert (np.asarray(permute_auto(x)) == np.asarray(permute(x))).all()
+
+
+def test_fused_sponge_kernel_interpret_matches_scalar():
+    from intmax_zkp_core_tpu.ops.poseidon import hash_n_to_m_no_pad_s
+    from intmax_zkp_core_tpu.ops.poseidon_pallas import hash_no_pad_pallas
+
+    rng = np.random.default_rng(21)
+    # width 15 = two absorb chunks with a 7-lane partial tail — the
+    # essential fused-chunk logic.  Other widths run the same static loop
+    # and are cross-checked on-device by the TPU drives; interpret mode is
+    # too slow to enumerate them here.
+    for width in (15,):
+        x = rng.integers(0, P, size=(256, width), dtype=np.uint64)
+        x[0] = 0
+        out = np.asarray(hash_no_pad_pallas(jnp.asarray(x), True))
+        for i in (0, 1, 255):
+            want = hash_n_to_m_no_pad_s([int(v) for v in x[i]], 4)
+            assert [int(v) for v in out[i]] == list(want), (width, i)
