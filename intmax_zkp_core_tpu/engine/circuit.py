@@ -308,6 +308,27 @@ class CircuitBuilder:
     def range_check(self, t: int, n_bits: int) -> None:
         self.split_le(t, n_bits)
 
+    def split_le_canonical(self, t: int) -> list[BoolTarget]:
+        """64-bit LE decomposition with a canonicity constraint.
+
+        A plain 64-bit ``split_le`` recomposes mod p, so values v < 2^32 - 1
+        admit a second valid bit pattern (v + p fits in 64 bits) — a
+        malicious prover could choose either, flipping derived FRI query
+        indices or SMT key paths.  Enforce bits < p (p = 2^64 - 2^32 + 1:
+        v >= p iff the high 32 bits are all one and the low 32 bits are
+        nonzero) by asserting AND(high bits) * OR(low bits) == 0.
+        """
+        bits = self.split_le(t, 64)
+        one = self.one()
+        hi_and = bits[32].target
+        for b in bits[33:]:
+            hi_and = self.mul(hi_and, b.target)
+        lo_nor = one  # product of (1 - bit) over the low 32 bits
+        for b in bits[:32]:
+            lo_nor = self.mul(lo_nor, self.sub(one, b.target))
+        self.assert_zero(self.mul(hi_and, self.sub(one, lo_nor)))
+        return bits
+
     # ---- Poseidon hashing ----
 
     def poseidon_permute(self, inputs: list[int], swap: BoolTarget | None = None) -> list[int]:

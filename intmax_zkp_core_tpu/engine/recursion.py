@@ -520,7 +520,7 @@ def verify_proof_in_circuit(
     if fri.proof_of_work_bits > 0:
         pow_challenge = ch.get_challenge()
         pow_digest = builder.hash_n_to_hash_no_pad([pow_challenge, pt.pow_witness])
-        d_bits = builder.split_le(list(pow_digest)[0], 64)
+        d_bits = builder.split_le_canonical(list(pow_digest)[0])
         for b in d_bits[64 - fri.proof_of_work_bits :]:
             builder.assert_zero(b.target)
         ch.observe_element(pt.pow_witness)
@@ -550,7 +550,7 @@ def verify_proof_in_circuit(
 
     for qr in range(fri.num_query_rounds):
         idx_t = ch.get_challenge()
-        all_bits = builder.split_le(idx_t, 64)
+        all_bits = builder.split_le_canonical(idx_t)
         idx_bits = all_bits[:log_lde]  # idx = challenge mod lde_n
 
         # initial tree openings at idx

@@ -210,8 +210,8 @@ def verify_smt_process_proof_t(
     hash1_old = calc_leaf_hash(builder, old_key, old_value)
     hash1_new = calc_leaf_hash(builder, new_key, new_value)
 
-    n2b_old = [b for e in old_key for b in builder.split_le(e, 64)]
-    n2b_new = [b for e in new_key for b in builder.split_le(e, 64)]
+    n2b_old = [b for e in old_key for b in builder.split_le_canonical(e)]
+    n2b_new = [b for e in new_key for b in builder.split_le_canonical(e)]
 
     lev_ins = smt_lev_ins_t(builder, enabled, siblings)
 

@@ -87,7 +87,7 @@ def verify_smt_inclusion_proof_t(
     hash1_old = calc_leaf_hash(builder, old_key, old_value)
     hash1_new = calc_leaf_hash(builder, key, value)
 
-    n2b_new = [b for e in key for b in builder.split_le(e, 64)]
+    n2b_new = [b for e in key for b in builder.split_le_canonical(e)]
 
     lev_ins = smt_lev_ins_t(builder, enabled, siblings)
 

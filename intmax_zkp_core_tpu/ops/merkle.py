@@ -55,30 +55,23 @@ def hash_leaves(leaf_data: jnp.ndarray) -> jnp.ndarray:
     return ps.hash_no_pad(leaf_data)
 
 
-import jax
-from functools import partial
-
-
-@partial(jax.jit, static_argnums=(1,))
-def _build_levels(leaf_data, cap_height: int):
-    """All tree levels in ONE compiled dispatch (the level count is static
-    given the leaf shape) — avoids a host round-trip per level, which
-    dominates wall-clock when the device is remote."""
-    digests = hash_leaves(leaf_data)
-    levels = [digests]
-    while levels[-1].shape[0] > 1 << cap_height:
-        cur = levels[-1]
-        levels.append(ps.two_to_one(cur[0::2], cur[1::2]))
-    return levels
-
-
 def build_merkle_tree(leaf_data, cap_height: int) -> MerkleTree:
-    """leaf_data: [n, leaf_width] uint64 (n a power of two >= 2^cap_height)."""
+    """leaf_data: [n, leaf_width] uint64 (n a power of two >= 2^cap_height).
+
+    Levels stay device-resident until the final host transfer; every
+    permutation inside runs through the per-shape jitted permutation kernel
+    (see ``poseidon._permute_dispatch`` for why the jit boundary is the
+    single permutation and not the whole tree).
+    """
     leaf_data = jnp.asarray(leaf_data, dtype=jnp.uint64)
     n = leaf_data.shape[0]
     assert n & (n - 1) == 0, "leaf count must be a power of two"
     assert n >= 1 << cap_height
-    levels = [np.asarray(lv) for lv in _build_levels(leaf_data, cap_height)]
+    levels_dev = [hash_leaves(leaf_data)]
+    while levels_dev[-1].shape[0] > 1 << cap_height:
+        cur = levels_dev[-1]
+        levels_dev.append(ps.two_to_one(cur[0::2], cur[1::2]))
+    levels = [np.asarray(lv) for lv in levels_dev]
     return MerkleTree(levels=levels, cap_height=cap_height)
 
 

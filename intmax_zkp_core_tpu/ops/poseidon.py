@@ -147,6 +147,25 @@ def permute_auto(state: jax.Array) -> jax.Array:
         return permute(state)
 
 
+_permute_auto_jit = jax.jit(permute_auto)
+
+
+def _permute_dispatch(state: jax.Array) -> jax.Array:
+    """The permutation is THE jit boundary for host-driven hashing.
+
+    Called eagerly (tree builds, commitments), each distinct batch shape
+    [B, 12] lowers a single ~1.5k-op permutation graph once (~1s) and is
+    shared across every leaf width, tree level and circuit.  Jitting whole
+    sponge chains or whole trees instead produces 30-200x larger graphs
+    whose MLIR lowering (minutes per shape, not covered by the persistent
+    compile cache) dominates fresh-process wall-clock.  Inside an enclosing
+    jit trace this is a no-op passthrough to ``permute_auto``.
+    """
+    if isinstance(state, jax.core.Tracer):
+        return permute_auto(state)
+    return _permute_auto_jit(state)
+
+
 def hash_n_to_m_no_pad(inputs: jax.Array, num_outputs: int = 4) -> jax.Array:
     """Sponge over [..., n] inputs -> [..., num_outputs].
 
@@ -167,7 +186,7 @@ def hash_n_to_m_no_pad(inputs: jax.Array, num_outputs: int = 4) -> jax.Array:
     for start in range(0, n, SPONGE_RATE):
         chunk = inputs[..., start : start + SPONGE_RATE]
         state = state.at[..., : chunk.shape[-1]].set(chunk)
-        state = permute_auto(state)
+        state = _permute_dispatch(state)
     assert num_outputs <= SPONGE_WIDTH
     return state[..., :num_outputs]
 

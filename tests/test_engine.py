@@ -142,3 +142,39 @@ def test_proof_json_roundtrip():
     back = proof_from_json(json.loads(encoded))
     data.verify(back)
     assert back.public_inputs == [36]
+
+
+def test_split_le_canonical_edge_values():
+    # canonicity gadget must accept every canonical value, including the
+    # boundary patterns: p-1 = 0xFFFFFFFF00000000 (high 32 bits all one,
+    # low 32 bits zero) and 2^32 - 2 (max value with a second 64-bit
+    # representation v + p)
+    from intmax_zkp_core_tpu.engine.circuit import CircuitBuilder
+    from intmax_zkp_core_tpu.engine.prover import check_witness
+    from intmax_zkp_core_tpu.engine.witness import PartialWitness
+
+    P = 0xFFFFFFFF00000001
+    b = CircuitBuilder()
+    ts = [b.add_virtual_target() for _ in range(4)]
+    for t in ts:
+        b.split_le_canonical(t)
+    data = b.build()
+    pw = PartialWitness()
+    for t, v in zip(ts, [0, 5, (1 << 32) - 2, P - 1]):
+        pw.set_target(t, v)
+    check_witness(data, pw)  # raises on any violated constraint
+
+    # the witness pipeline must refuse a non-canonical bit injection for a
+    # value v < 2^32 - 1 (bit pattern of v + p recomposes to v mod p)
+    b2 = CircuitBuilder()
+    t2 = b2.add_virtual_target()
+    bits = b2.split_le_canonical(t2)
+    data2 = b2.build()
+    pw2 = PartialWitness()
+    v = 5
+    pw2.set_target(t2, v)
+    noncanon = v + P
+    for i, bt in enumerate(bits):
+        pw2.set_target(bt.target, (noncanon >> i) & 1)
+    with pytest.raises(AssertionError):
+        check_witness(data2, pw2)
