@@ -5,16 +5,24 @@ Parameters match the Poseidon instance of the reference's proving engine
 (``src/sparse_merkle_tree/gadgets/common.rs:5``), x^7 S-box, 4+4 full rounds,
 22 partial rounds, circulant-plus-diagonal MDS matrix.
 
-PROVENANCE / BIT-EXACTNESS STATUS: the MDS matrix and round structure are the
-published plonky2 values.  ALL_ROUND_CONSTANTS below is a best-effort
-reconstruction of plonky2's published array; it has NOT yet been verified
-bit-exact against the reference golden digest
+PROVENANCE / BIT-EXACTNESS STATUS: **verified bit-exact**.  The permutation
+defined by these constants reproduces the reference golden digest
 (``src/zkdsa/circuits/mod.rs:85-101``: Poseidon(0 || 0) =
 [4330397376401421145, 14124799381142128323, 8742572140681234676,
-14345658006221440202]).  ``BITEXACT_VERIFIED`` flips to True once the array
-reproduces that digest; every digest-level golden test keys off this flag.
-All framework semantics (trees, circuits, prover) are independent of the
-specific constant values.
+14345658006221440202]) plus the 32 zero-subtree sibling digests and the
+depth-32 zero-tree root of the golden BlockDetail JSON
+(``src/rollup/circuits/mod.rs:104``) — 33 independent 256-bit anchors.
+
+Representation note: the MDS matrix, round structure, and the full-round
+rows are the published plonky2 values.  For the 22 partial rounds this
+array stores an *equivalent* constant schedule: the partial-round section
+of the permutation is fully determined by its fast-partial-form constants
+(Poseidon paper App. B), and rows 4..25 here were solved (affine system,
+``ops/poseidon_fast.py``) so that the derived fast-form constants equal
+plonky2's published ``FAST_PARTIAL_{FIRST_,}ROUND_CONSTANT`` tables.  The
+resulting permutation is identical to plonky2's on every input (hence the
+anchor matches); individual entries in rows 4..25 need not equal the
+corresponding entries of plonky2's naive table.
 """
 
 N_ROUNDS = 30
@@ -33,7 +41,7 @@ REFERENCE_GOLDEN_ZERO_DIGEST = (
     14345658006221440202,
 )
 
-BITEXACT_VERIFIED = False
+BITEXACT_VERIFIED = True
 
 MDS_MATRIX_CIRC = [17, 15, 41, 16, 2, 28, 13, 13, 39, 18, 34, 20]
 MDS_MATRIX_DIAG = [8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
@@ -51,37 +59,37 @@ ALL_ROUND_CONSTANTS = [
     0x92a756e67e2b9413, 0x70e741ebfee96586, 0x019d5ee2af82ec1c, 0x6f6f2ed772466352,
     0x7cf416cfe7e14ca1, 0x61df517b86a46439, 0x85dc499b11d77b75, 0x4b959b48b9c10733,
     0xe8be3e5da8043e57, 0xf5c0bc1de6da8699, 0x40b12cbf09ef74bf, 0xa637093ecb2ad631,
-    0x3cc3f892184df408, 0x2e479dc157bf31bb, 0x6f49de07a6234346, 0x213ce7bede378d7b,
-    0x5b0431345d4dea83, 0xa2de45780344d6a1, 0x7103aaf94a7bf308, 0x5326fc0d97279301,
-    0xa9ceb74fec024747, 0x27f8ec88bb21b1a3, 0xfceb4fda1ded0893, 0xfac6ff1346a41675,
-    0x7131aa45268d7d8c, 0x9351036095630f9f, 0xad535b24afc26bfb, 0x4627f5c6993e44be,
+    0x3cc3f892184df408, 0x82ad778d646cfb69, 0x0f95a2e7eef1926a, 0xeef258cc37a9e352,
+    0x437d7048fbcd36bd, 0x80405de11b6e5b50, 0xfb4ed1e1cf5f16c1, 0xaff161ff2ee7f1f7,
+    0xf806ce8713086925, 0xabab04ded3699471, 0xaf81d810ab04afaa, 0xc3e2273fb73049b1,
+    0x98cc8396a34296b0, 0x9351036095630f9f, 0xad535b24afc26bfb, 0x4627f5c6993e44be,
     0x645cf794b8f1cc58, 0x241c70ed0af61617, 0xacb8e076647905f1, 0x3737e9db4c4f474d,
     0xe7ea5e33e75fffb6, 0x90dee49fc9bfc23a, 0xd1b1edf76bc09c92, 0x0b65481ba645c602,
-    0x99ad1aab0814283b, 0x438a7c91d416ca4d, 0xb60de3bcc5ea751c, 0xc99cab6aef6f58bc,
+    0x8f1dc38d6a127f98, 0x438a7c91d416ca4d, 0xb60de3bcc5ea751c, 0xc99cab6aef6f58bc,
     0x69a5ed92a72ee4ff, 0x5e7b329c1ed4ad71, 0x5fc0ac0800144885, 0x32db829239774eca,
     0x0ade699c5830f310, 0x7cc5583b10415f21, 0x85df9ed2e166d64f, 0x6604df4fee32bcb1,
-    0xeb84f608da56ef48, 0xda608834c40e603d, 0x8f97fe408061f183, 0xa93f485c96f37b89,
+    0x35ca44cb08b1ac28, 0xda608834c40e603d, 0x8f97fe408061f183, 0xa93f485c96f37b89,
     0x6704e8ee8f18d563, 0xcee3e9ac1e072119, 0x510d0e65e2b470c1, 0xf6323f486b9038f0,
     0x0b508cdeffa5ceef, 0xf2417089e4fb3cbd, 0x60e75c2890d15730, 0xa6217d8bf660f29c,
-    0x7159cd30c3ac118e, 0x839b4e8fafead540, 0x0d3f3e5e82920adc, 0x8f7d83bddee7bba8,
+    0x701c08b0afb05c5e, 0x839b4e8fafead540, 0x0d3f3e5e82920adc, 0x8f7d83bddee7bba8,
     0x780f2243ea071d06, 0xeb915845f3de1634, 0xd19e120d26b6f386, 0x016ee53a7e5fecc6,
     0xcb5fd54e7933e477, 0xacb8417879fd449f, 0x9c22190be7f74732, 0x5d693c1ba3ba3621,
-    0xdcef0797c97b048b, 0x3d639263da827b13, 0xe273fd971bc8d0e7, 0x418f02702d227ed5,
+    0x5eba117d0b7bfb5d, 0x3d639263da827b13, 0xe273fd971bc8d0e7, 0x418f02702d227ed5,
     0x8c25fda3b503038c, 0x2cbaed4daec8c07c, 0x5f58e6afcdd6ddc2, 0x284650ac5e1b0eba,
     0x635b337ee819dab5, 0x9f9a036ed4f2d49f, 0xb93e260cae5c170e, 0xb0a7eae879ddb76d,
-    0xd0762cbc8ca6570c, 0x34c6efb812b04bf5, 0x40bf0ab5fa14c112, 0xb6b570fc7c5740d3,
+    0xa8dabbe3d2e25a6b, 0x34c6efb812b04bf5, 0x40bf0ab5fa14c112, 0xb6b570fc7c5740d3,
     0x5a27b9002de33454, 0xb1a5b165b6d2b2d2, 0x8722e0ace9d1be22, 0x788ee3b37e5680fb,
     0x14a726661551e284, 0x98b7672f9ef3b419, 0xbb93ae776bb30e3a, 0x28fd3b046380f850,
-    0x30a4680593258387, 0x337dc00c61bd9ce1, 0xd5eca244c7a4ff1d, 0x7762638264d279bd,
+    0xf3dd48001db7a455, 0x337dc00c61bd9ce1, 0xd5eca244c7a4ff1d, 0x7762638264d279bd,
     0xc1e434bedeefd767, 0x0299351a53b8ec22, 0xb2d456e4ad251b80, 0x3e9ed1fda49cea0b,
     0x2972a92ba450bed8, 0x20216dd77be493de, 0xadffe8cf28449ec6, 0x1c4dbb1c4c27d243,
-    0x15a16a8a8322d458, 0x388a128b7fd9a609, 0x2300e5d6baedf0fb, 0x2f63aa8647e15104,
+    0xedabd34ad57e5da3, 0x388a128b7fd9a609, 0x2300e5d6baedf0fb, 0x2f63aa8647e15104,
     0xf1c36ce86ecec269, 0x27181125183970c9, 0xe584029370dca96d, 0x4d9bbc3e02f1cfb2,
     0xea35bc29692af6f8, 0x18e21b4beabb4137, 0x1e3b9fc625b554f4, 0x25d64362697828fd,
-    0x5a3f1bb1c53a9645, 0xdb7f023869fb8d38, 0xb462065911d4e1fc, 0x49c24ae4437d8030,
+    0x3ffdff35a3fd70c4, 0xdb7f023869fb8d38, 0xb462065911d4e1fc, 0x49c24ae4437d8030,
     0xd793862c112b0566, 0xaadd1106730d8feb, 0xc43b6e0e97b0d568, 0xe29024c18ee6fca2,
     0x5e50c27535b88c66, 0x10383f20a4ff9a87, 0x38e8ee9d71a45af8, 0xdd5118375bf1a9b9,
-    0x775005982d74d7f7, 0x86ab99b4dde3ca8d, 0xb1204f603f51c080, 0xef61ac8470250ecf,
+    0xc482799ad1209b97, 0x86ab99b4dde3ca8d, 0xb1204f603f51c080, 0xef61ac8470250ecf,
     0x1bbcd90f132c603f, 0x0cd1dabd964db557, 0x11a3ae5beb9d1ec9, 0xf755bfeea585d11d,
     0xa3b83250268ea4d7, 0x516306f4927c93af, 0xddb4ac49c9efa1da, 0x64bb6dec369d4418,
     0xf9cc95c22b4c1fcc, 0x08d37f755f4ae9f6, 0xeec49b613478675b, 0xf143933aed25e0b0,
