@@ -68,6 +68,7 @@ class CircuitBuilder:
         self._constant_cache: dict[int, int] = {}
         self._const_row: tuple[int, int] | None = None  # (row, next_slot)
         self._arith_rows: dict[tuple[int, int], tuple[int, int]] = {}
+        self._u32_row: tuple[int, int] | None = None  # (row, next_op)
         self._zero: int | None = None
         self._one: int | None = None
         self._built = False
@@ -232,6 +233,51 @@ class CircuitBuilder:
     def assert_bool(self, b: BoolTarget) -> None:
         t = b.target
         self.connect(self.mul(t, t), t)
+
+    def u32_mul_add(self, a: int, b: int, c: int) -> tuple[int, int]:
+        """(a*b + c) as (out_lo, out_hi) base-2^32 halves, both
+        range-checked to 32 bits by the dedicated gate; requires a, b, c to
+        themselves be < 2^32 for the split to be the unique integer
+        decomposition (see ``U32MulAddGate``).  The building block of the
+        non-native secp256k1 arithmetic used by the ECDSA feature."""
+        from .gates import U32MulAddGate
+
+        cur = self._u32_row
+        if cur is None or cur[1] >= U32MulAddGate.NUM_OPS:
+            row = self.add_gate("u32_mul_add")
+            cur = (row, 0)
+        row, op = cur
+        self._bind(row, 5 * op + 0, a)
+        self._bind(row, 5 * op + 1, b)
+        self._bind(row, 5 * op + 2, c)
+        out_lo = self._bind(row, 5 * op + 3)
+        out_hi = self._bind(row, 5 * op + 4)
+        self._u32_row = (row, op + 1)
+
+        def gen(w, a=a, b=b, c=c, row=row, op=op, out_lo=out_lo, out_hi=out_hi):
+            va, vb, vc = w.get(a), w.get(b), w.get(c)
+            if va is None or vb is None or vc is None:
+                return False
+            lo, hi, chunks, u = U32MulAddGate.fill_op(va, vb, vc)
+            w.set(out_lo, lo)
+            w.set(out_hi, hi)
+            for k, ch in enumerate(chunks):
+                w.set_wire(row, U32MulAddGate.CHUNK_BASE + 32 * op + k, ch)
+            w.set_wire(row, U32MulAddGate.INV_BASE + op, u)
+            return True
+
+        self.generators.append(gen)
+        return out_lo, out_hi
+
+    def range_check_u32(self, t: int) -> None:
+        """Constrain t < 2^32 (one third of a u32 gate row)."""
+        lo, _hi = self.u32_mul_add(t, self.one(), self.zero())
+        self.connect(lo, t)
+
+    def u32_split(self, t: int) -> tuple[int, int]:
+        """Split t (known < 2^63 by construction at call sites) into
+        (t mod 2^32, t >> 32), both range-checked."""
+        return self.u32_mul_add(t, self.one(), self.zero())
 
     # ---- logic / selection ----
 

@@ -106,6 +106,89 @@ class PublicInputGate(Gate):
         return [alg.sub(wires[i], public_hash[i]) for i in range(4)]
 
 
+class U32MulAddGate(Gate):
+    """NUM_OPS ops per row of ``a * b + c = out_lo + 2^32 * out_hi`` with
+    both halves range-checked to 32 bits via 2-bit chunks (degree-4 chunk
+    constraints), the workhorse of non-native secp256k1 arithmetic for the
+    in-circuit ECDSA feature (the reference outsources this to its
+    plonky2_ecdsa dependency — ``src/ecdsa/bin/ecdsa_verification.rs:52``
+    uses ``verify_message_circuit`` built on just such a U32 gate).
+
+    Wire layout per op i (i < 3):
+      5i .. 5i+4            routed: a, b, c, out_lo, out_hi
+      15 + 32i .. 15 + 32i + 31   non-routed: 16 + 16 2-bit chunks of
+                                  out_lo and out_hi (LE)
+      111 + i               non-routed: canonicity inverse witness u_i
+
+    Soundness: for inputs a, b, c < 2^32 the integer value v = a*b + c is
+    at most (2^32-1)^2 + (2^32-1) = 2^64 - 2^32 = p - 1, so the field
+    equation never wraps.  The only non-canonical decomposition satisfying
+    ``out_lo + 2^32*out_hi == v (mod p)`` with both halves < 2^32 is
+    v + p (possible iff v < 2^32 - 1), which forces out_hi = 2^32 - 1;
+    the honest split has out_hi = 2^32 - 1 only at v = p - 1, where
+    out_lo = 0.  The constraint ``out_lo * (1 - (out_hi - (2^32-1)) * u)``
+    with the inverse witness u therefore makes the split the unique
+    base-2^32 decomposition of the integer a*b + c — which is what the
+    nonnative-arithmetic column/carry equations built on this gate need."""
+
+    NUM_OPS = 3
+    gate_id = "u32_mul_add"
+    num_constraints = NUM_OPS * 36
+    CHUNK_BASE = 5 * NUM_OPS
+    INV_BASE = 5 * NUM_OPS + 32 * NUM_OPS  # 111
+
+    def eval_constraints(self, alg, wires, consts, public_hash):
+        cs = []
+        for i in range(self.NUM_OPS):
+            a = wires[5 * i]
+            b = wires[5 * i + 1]
+            c = wires[5 * i + 2]
+            out_lo = wires[5 * i + 3]
+            out_hi = wires[5 * i + 4]
+            chunks = [wires[self.CHUNK_BASE + 32 * i + k] for k in range(32)]
+            term = alg.add(alg.mul(a, b), c)
+            combined = alg.add(out_lo, alg.mul_const(out_hi, 1 << 32))
+            cs.append(alg.sub(term, combined))
+            for half, out in ((0, out_lo), (1, out_hi)):
+                acc = None
+                for k in range(16):
+                    t = alg.mul_const(chunks[16 * half + k], 1 << (2 * k))
+                    acc = t if acc is None else alg.add(acc, t)
+                cs.append(alg.sub(out, acc))
+            for ch in chunks:
+                t1 = alg.mul(ch, alg.add_const(ch, P_NEG_ONE))
+                t2 = alg.mul(
+                    alg.add_const(ch, P_NEG_TWO), alg.add_const(ch, P_NEG_THREE)
+                )
+                cs.append(alg.mul(t1, t2))
+            # canonicity: out_hi == 2^32-1 forces out_lo == 0
+            u = wires[self.INV_BASE + i]
+            diff = alg.add_const(out_hi, P_NEG_U32MAX)
+            cs.append(alg.mul(out_lo, alg.sub(alg.const(1), alg.mul(diff, u))))
+        assert len(cs) == self.num_constraints
+        return cs
+
+    @staticmethod
+    def fill_op(a: int, b: int, c: int):
+        """Witness values: (out_lo, out_hi, chunks[32], u) for a*b + c."""
+        P = 0xFFFFFFFF00000001
+        v = a * b + c
+        out_lo = v & 0xFFFFFFFF
+        out_hi = v >> 32
+        chunks = [(out_lo >> (2 * k)) & 3 for k in range(16)] + [
+            (out_hi >> (2 * k)) & 3 for k in range(16)
+        ]
+        diff = (out_hi - 0xFFFFFFFF) % P
+        u = pow(diff, P - 2, P) if diff else 0
+        return out_lo, out_hi, chunks, u
+
+
+P_NEG_ONE = 0xFFFFFFFF00000000  # -1 mod p
+P_NEG_TWO = 0xFFFFFFFEFFFFFFFF  # -2 mod p
+P_NEG_THREE = 0xFFFFFFFEFFFFFFFE  # -3 mod p
+P_NEG_U32MAX = (0xFFFFFFFF00000001 - 0xFFFFFFFF) % 0xFFFFFFFF00000001  # -(2^32-1)
+
+
 class PoseidonGate(Gate):
     """One full Poseidon-12 permutation per row, with input-pair swap.
 
@@ -396,5 +479,12 @@ class PoseidonGate(Gate):
 
 GATE_TYPES = {
     g.gate_id: g
-    for g in [NoopGate(), ArithmeticGate(), ConstantGate(), PublicInputGate(), PoseidonGate()]
+    for g in [
+        NoopGate(),
+        ArithmeticGate(),
+        ConstantGate(),
+        PublicInputGate(),
+        PoseidonGate(),
+        U32MulAddGate(),
+    ]
 }

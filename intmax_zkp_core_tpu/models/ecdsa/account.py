@@ -7,10 +7,8 @@
 
 The in-circuit ECDSA verification demo (reference
 ``src/ecdsa/bin/ecdsa_verification.rs``, via the plonky2_ecdsa dependency)
-requires non-native secp256k1 arithmetic gadgets; like the reference it is
-feature-gated and not part of the default build — ``verify_message_circuit``
-raises NotImplementedError until the non-native arithmetic gadget library
-lands.
+lives in ``.circuits`` / ``.gadgets`` (non-native secp256k1 arithmetic on
+the engine's ``U32MulAddGate``).
 """
 
 from __future__ import annotations
@@ -153,11 +151,10 @@ def verify_message(public_key: tuple[int, int], msg_hash: int, sig: tuple[int, i
     return point[0] % N256 == r
 
 
-def verify_message_circuit(*args, **kwargs):
+def verify_message_circuit(builder, msg, sig_r, sig_s, public_key, n_bits: int = 256):
     """In-circuit ECDSA verification (reference
-    ``ecdsa/bin/ecdsa_verification.rs:52``) — requires the non-native
-    secp256k1 gadget library; feature-gated off, as in the reference."""
-    raise NotImplementedError(
-        "in-circuit ECDSA requires non-native secp256k1 arithmetic gadgets "
-        "(feature-gated off, matching the reference's default build)"
-    )
+    ``ecdsa/bin/ecdsa_verification.rs:52``); see ``.circuits`` for the
+    implementation over the non-native secp256k1 gadget library."""
+    from .circuits import verify_message_circuit as _impl
+
+    return _impl(builder, msg, sig_r, sig_s, public_key, n_bits=n_bits)
