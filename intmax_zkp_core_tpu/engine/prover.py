@@ -33,9 +33,63 @@ P = gl.P_INT
 # constraint degree at 8 (= CircuitConfig.max_degree)
 CHUNK = 7
 
+# constraints per jitted quotient chunk: bounds the size of any single
+# device compile (one monolithic quotient graph for a many-constraint gate
+# overwhelms remote compile services; see docs/perf_notes.md)
+GATE_QUOTIENT_CHUNK = 24
+
+# (gate_id, lo, hi, num_wires, n_const, C) -> (fn, jitted fn); module-level
+# so identical chunks are traced/compiled once across circuits in-process
+# (the persistent compilation cache dedups across processes)
+_GATE_CHUNK_CACHE: dict = {}
+
 
 def n_chunks(num_routed: int) -> int:
     return (num_routed + CHUNK - 1) // CHUNK
+
+
+def _gate_quotient_chunk(gate_id: str, lo: int, hi: int, num_wires: int,
+                         n_const: int, C: int, use_jit: bool):
+    """Kernel accumulating alpha-combined, selector-filtered constraints
+    ``lo:hi`` of one gate type onto the running quotient numerator:
+
+        acc'[c] = acc[c] + sum_k alphas[c]^k * sel * constraint_{lo+k}
+        apows'[c] = apows[c] * alphas[c]^(hi-lo)
+
+    Constraints are wire-local (intermediates live in wires), so slicing
+    before jit lets DCE prune the untouched constraints' subgraphs."""
+    key = (gate_id, lo, hi, num_wires, n_const, C)
+    entry = _GATE_CHUNK_CACHE.get(key)
+    if entry is None:
+        gate = GATE_TYPES[gate_id]
+
+        def run(wires_lde, sel_col, const_cols, pi_hash, alphas, acc, apows):
+            alg = BatchAlgebra()
+            wires_cols = [wires_lde[i] for i in range(num_wires)]
+            ccols = [const_cols[i] for i in range(n_const)]
+            pi_cols = [pi_hash[i] for i in range(4)]
+            batched = getattr(gate, "eval_constraints_batched", None)
+            if batched is not None:
+                cs = batched(wires_cols, ccols, pi_cols)
+            else:
+                cs = gate.eval_constraints(alg, wires_cols, ccols, pi_cols)
+            cs = cs[lo:hi]
+            out_acc = []
+            out_apows = []
+            for c in range(C):
+                a = acc[c]
+                apow = apows[c]
+                for t in cs:
+                    filt = gl.mul(sel_col, jnp.broadcast_to(t, sel_col.shape))
+                    a = gl.add(a, gl.mul(apow, filt))
+                    apow = gl.mul(apow, alphas[c])
+                out_acc.append(a)
+                out_apows.append(apow)
+            return jnp.stack(out_acc), jnp.stack(out_apows)
+
+        entry = (run, jax.jit(run))
+        _GATE_CHUNK_CACHE[key] = entry
+    return entry[1] if use_jit else entry[0]
 
 
 @dataclass
@@ -126,7 +180,16 @@ def get_circuit_kernels(pd):
     )
     z_h_np = (xn.astype(object) - 1) % P
     z_h_c = jnp.asarray(z_h_np.astype(np.uint64))
-    l0_c = gl.mul(z_h_c, gl.inv(gl.mul(jnp.uint64(n), gl.sub(xs_c, jnp.uint64(1)))))
+    # L_0 on the coset, host-side (eager device u64 inv is prohibitively
+    # slow through remote backends)
+    l0_np = np.array(
+        [
+            int(z_h_np[i]) * pow(n * (int(xs_np[i]) - 1) % P, P - 2, P) % P
+            for i in range(lde_n)
+        ],
+        dtype=np.uint64,
+    )
+    l0_c = jnp.asarray(l0_np)
     inv_shift = pow(gl.MULTIPLICATIVE_GROUP_GENERATOR, P - 2, P)
     shift_pows = np.empty(lde_n, dtype=np.uint64)
     acc = 1
@@ -142,14 +205,14 @@ def get_circuit_kernels(pd):
     sigma_c = jnp.asarray(pd.sigma)
 
     @jax.jit
-    def perm_columns(wires, betas, gammas):
+    def perm_columns_impl(wires, betas, gammas, id_vals_a, sigma_a):
         """wires [R, n]; betas/gammas [C] -> (z_cols [C, n], pp [C, nch-1, n],
-        wrap [C] which must be all-ones)."""
-        ones = jnp.ones((1, n), dtype=jnp.uint64)
+        wrap [C] which must be all-ones).  id/sigma tables are arguments so
+        the compiled graph carries no large literals."""
 
         def per_challenge(beta, gamma):
-            f_fac = gl.add(gl.add(wires[:R], gl.mul(beta, id_vals_c)), gamma)  # [R, n]
-            g_fac = gl.add(gl.add(wires[:R], gl.mul(beta, sigma_c)), gamma)
+            f_fac = gl.add(gl.add(wires[:R], gl.mul(beta, id_vals_a)), gamma)  # [R, n]
+            g_fac = gl.add(gl.add(wires[:R], gl.mul(beta, sigma_a)), gamma)
             pad = nch * CHUNK - R
             if pad:
                 f_fac = jnp.concatenate([f_fac, jnp.ones((pad, n), jnp.uint64)], axis=0)
@@ -183,36 +246,30 @@ def get_circuit_kernels(pd):
         zs, pps, wraps = jax.vmap(per_challenge)(betas, gammas)
         return zs, pps, wraps
 
-    def quotient_trace(wires_lde, zs_lde, pps_lde, betas, gammas, alphas, pi_hash):
-        """wires_lde [W, lde_n]; zs_lde [C, lde_n]; pps_lde [C, nch-1, lde_n];
-        challenges [C]; pi_hash [4] -> quotient coefficient chunks
-        [C*blowup, n]."""
-        alg = BatchAlgebra()
-        wires_cols = [wires_lde[i] for i in range(cfg.num_wires)]
-        const_cols = [const_lde[i] for i in range(common.n_const_cols)]
-        pi_cols = [pi_hash[i] for i in range(4)]
-        gate_constraints = []
-        for gi, gate_id in enumerate(common.gate_ids):
-            gate = GATE_TYPES[gate_id]
-            if gate.num_constraints == 0:
-                continue
-            batched = getattr(gate, "eval_constraints_batched", None)
-            if batched is not None:
-                cs = batched(wires_cols, const_cols, pi_cols)
-            else:
-                cs = gate.eval_constraints(alg, wires_cols, const_cols, pi_cols)
-            sel = sel_lde[gi]
-            gate_constraints.extend(
-                gl.mul(sel, jnp.broadcast_to(c, sel.shape)) for c in cs
-            )
+    def perm_columns(wires, betas, gammas):
+        return perm_columns_impl(wires, betas, gammas, id_vals_c, sigma_c)
 
-        z_h_inv = gl.inv(z_h_c)
-        out_chunks = []
+    # The quotient is compiled in bounded pieces rather than one monolithic
+    # graph: one kernel for the permutation-argument terms, one per
+    # GATE_QUOTIENT_CHUNK constraints of each gate type (shared across
+    # circuits via _GATE_CHUNK_CACHE), and one for the divide/INTT tail.
+    # Big per-circuit tables (sigma/selector/constant LDEs, coset vectors)
+    # ride in as arguments, not baked literals — literal-stuffed graphs
+    # overwhelmed the remote compile helper (docs/perf_notes.md).  The
+    # alpha-power ordering [L_0 term, permutation chunks, every gate's
+    # constraints in gate order] is identical to the verifier's.
+
+    def perm_quotient_part(wires_lde, zs_lde, pps_lde, betas, gammas, alphas,
+                           sigma_lde, xs, l0):
+        """-> (acc [C, lde_n], apows [C]): the L_0 + permutation-chunk terms
+        alpha-combined, and the alpha power reached per challenge."""
+        accs = []
+        apows = []
         for c in range(C):
             beta, gamma, alpha = betas[c], gammas[c], alphas[c]
             Z = zs_lde[c]
             Z_shift = jnp.roll(Z, -cfg.fri.blowup)
-            terms = [gl.mul(l0_c, gl.sub(Z, jnp.uint64(1)))]
+            terms = [gl.mul(l0, gl.sub(Z, jnp.uint64(1)))]
             prev = Z
             for j in range(nch):
                 lo, hi = j * CHUNK, min((j + 1) * CHUNK, R)
@@ -220,32 +277,71 @@ def get_circuit_kernels(pd):
                 g = None
                 for i in range(lo, hi):
                     v = wires_lde[i]
-                    fid = gl.add(gl.add(v, gl.mul(gl.mul(beta, k_is_c[i]), xs_c)), gamma)
-                    gs = gl.add(gl.add(v, gl.mul(beta, sigma_lde_c[i])), gamma)
+                    fid = gl.add(gl.add(v, gl.mul(gl.mul(beta, k_is_c[i]), xs)), gamma)
+                    gs = gl.add(gl.add(v, gl.mul(beta, sigma_lde[i])), gamma)
                     f = fid if f is None else gl.mul(f, fid)
                     g = gs if g is None else gl.mul(g, gs)
                 nxt = Z_shift if j == nch - 1 else pps_lde[c][j]
                 terms.append(gl.sub(gl.mul(nxt, g), gl.mul(prev, f)))
                 if j < nch - 1:
                     prev = pps_lde[c][j]
-            terms.extend(gate_constraints)
             acc = jnp.zeros((lde_n,), dtype=jnp.uint64)
             apow = jnp.uint64(1)
             for t in terms:
                 acc = gl.add(acc, gl.mul(apow, jnp.broadcast_to(t, (lde_n,))))
                 apow = gl.mul(apow, alpha)
-            q_evals = gl.mul(acc, z_h_inv)
+            accs.append(acc)
+            apows.append(apow)
+        return jnp.stack(accs), jnp.stack(apows)
+
+    def quotient_finish(acc, z_h, shift_pows_a):
+        """acc [C, lde_n] -> quotient coefficient chunks [C*blowup, n]."""
+        z_h_inv = gl.inv(z_h)
+        out_chunks = []
+        for c in range(C):
+            q_evals = gl.mul(acc[c], z_h_inv)
             coeffs = nt.intt(q_evals[None, :])[0]
-            coeffs = gl.mul(coeffs, shift_pows_c)
+            coeffs = gl.mul(coeffs, shift_pows_a)
             out_chunks.append(coeffs.reshape(cfg.fri.blowup, n))
         return jnp.concatenate(out_chunks, axis=0)
 
-    # jit the (large) quotient graph on accelerators; on CPU the XLA compile
-    # cost outweighs eager dispatch for typical circuit sizes
+    # jit the pieces on accelerators; on CPU the XLA compile cost outweighs
+    # eager dispatch for typical circuit sizes
     use_jit = jax.default_backend() != "cpu"
+
+    def _wrap(f):
+        return jax.jit(f) if use_jit else f
+
+    perm_quotient_fn = _wrap(perm_quotient_part)
+    finish_fn = _wrap(quotient_finish)
+    sel_cols = [sel_lde[i] for i in range(n_sel)]
+    gate_chunks = []
+    for gi, gate_id in enumerate(common.gate_ids):
+        nc = GATE_TYPES[gate_id].num_constraints
+        for lo in range(0, nc, GATE_QUOTIENT_CHUNK):
+            hi = min(lo + GATE_QUOTIENT_CHUNK, nc)
+            fn = _gate_quotient_chunk(
+                gate_id, lo, hi, cfg.num_wires, common.n_const_cols, C, use_jit
+            )
+            gate_chunks.append((gi, fn))
+
+    def quotient(wires_lde, zs_lde, pps_lde, betas, gammas, alphas, pi_hash):
+        """wires_lde [W, lde_n]; zs_lde [C, lde_n]; pps_lde [C, nch-1, lde_n];
+        challenges [C]; pi_hash [4] -> quotient coefficient chunks
+        [C*blowup, n]."""
+        acc, apows = perm_quotient_fn(
+            wires_lde, zs_lde, pps_lde, betas, gammas, alphas,
+            sigma_lde_c, xs_c, l0_c,
+        )
+        for gi, fn in gate_chunks:
+            acc, apows = fn(
+                wires_lde, sel_cols[gi], const_lde, pi_hash, alphas, acc, apows
+            )
+        return finish_fn(acc, z_h_c, shift_pows_c)
+
     kernels = {
         "perm_columns": perm_columns,
-        "quotient": jax.jit(quotient_trace) if use_jit else quotient_trace,
+        "quotient": quotient,
     }
     pd._kernels = kernels
     return kernels
