@@ -48,8 +48,12 @@ def test_ecdsa_account_and_signature():
     assert not verify_message(acct.public_key, 0xDEADBEF0, sig)
     assert unpack_signature(pack_signature(sig)) == sig
     assert public_key_to_address(acct.public_key) == acct.address
-    with pytest.raises(NotImplementedError):
-        verify_message_circuit()
+    # the in-circuit verifier is implemented (coverage in test_ecdsa_circuit)
+    from intmax_zkp_core_tpu.models.ecdsa.circuits import (
+        verify_message_circuit as in_circuit,
+    )
+
+    assert callable(in_circuit)
 
 
 def test_storage_layout_value_vector_mapping_bytes():
