@@ -120,6 +120,25 @@ def _open_columns(coeffs: jnp.ndarray, zeta: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+@jax.jit
+def _combine_columns(lde_matrix: jnp.ndarray, pows_arr: jnp.ndarray) -> jnp.ndarray:
+    """sum_i alpha^i * p_i(X): base-field columns [m, lde_n] times extension
+    alpha powers [m, 2] -> [lde_n, 2].  Module-level so it is traced once
+    per shape, not re-jitted on every proof."""
+    acc0 = jnp.zeros((lde_matrix.shape[1],), dtype=jnp.uint64)
+    acc1 = jnp.zeros_like(acc0)
+
+    def step(carry, inp):
+        a0, a1 = carry
+        col, pw = inp
+        a0 = gl.add(a0, gl.mul(col, pw[0]))
+        a1 = gl.add(a1, gl.mul(col, pw[1]))
+        return (a0, a1), None
+
+    (acc0, acc1), _ = jax.lax.scan(step, (acc0, acc1), (lde_matrix, pows_arr))
+    return jnp.stack([acc0, acc1], axis=-1)  # [lde_n, 2]
+
+
 def _commit(matrix_np: np.ndarray, rate_bits: int, cap_height: int, from_coeffs: bool = False):
     """columns [S, n] (evaluations on the subgroup, or coefficients if
     ``from_coeffs``) -> (coeffs, lde, tree)."""
@@ -542,24 +561,7 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
         alpha_pows.append(apow)
         apow = ext_mul(apow, alpha_fri)
 
-    @jax.jit
-    def combine(lde_matrix, pows_arr):
-        # sum_i alpha^i * p_i(X): base-field columns times ext alpha powers
-        base = jnp.asarray(lde_matrix)  # [m, lde_n]
-        acc0 = jnp.zeros((base.shape[1],), dtype=jnp.uint64)
-        acc1 = jnp.zeros_like(acc0)
-
-        def step(carry, inp):
-            a0, a1 = carry
-            col, pw = inp
-            a0 = gl.add(a0, gl.mul(col, pw[0]))
-            a1 = gl.add(a1, gl.mul(col, pw[1]))
-            return (a0, a1), None
-
-        (acc0, acc1), _ = jax.lax.scan(step, (acc0, acc1), (base, pows_arr))
-        return jnp.stack([acc0, acc1], axis=-1)  # [lde_n, 2]
-
-    comb1 = combine(jnp.asarray(batch1_lde), jnp.asarray(np.array(alpha_pows[:m1], dtype=np.uint64)))
+    comb1 = _combine_columns(jnp.asarray(batch1_lde), jnp.asarray(np.array(alpha_pows[:m1], dtype=np.uint64)))
     comb1_at_zeta = (0, 0)
     flat_opens = (
         openings["constants_sigmas"] + openings["wires"] + openings["zs_pp"] + openings["quotient"]
@@ -567,7 +569,7 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     for i, y in enumerate(flat_opens):
         comb1_at_zeta = ext_add(comb1_at_zeta, ext_mul(alpha_pows[i], y))
 
-    comb2 = combine(
+    comb2 = _combine_columns(
         jnp.asarray(zspp_lde[: cfg.num_challenges]),
         jnp.asarray(np.array(alpha_pows[m1 : m1 + cfg.num_challenges], dtype=np.uint64)),
     )
