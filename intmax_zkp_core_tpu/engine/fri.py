@@ -23,6 +23,7 @@ from dataclasses import dataclass
 from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import goldilocks as gl
@@ -58,6 +59,22 @@ class FriProof:
     query_rounds: list
 
 
+@jax.jit
+def _fold_step(cur: jnp.ndarray, inv2x: jnp.ndarray, beta_arr: jnp.ndarray) -> jnp.ndarray:
+    """One FRI fold: cur [m, 2] -> [m/2, 2] via
+    f'(x^2) = (f(x)+f(-x))/2 + beta * (f(x)-f(-x))/(2x).
+    Module-level jit: one device dispatch per layer instead of ~8 eager
+    u64 ops (each a round-trip on remote backends)."""
+    half = cur.shape[0] // 2
+    e_pos, e_neg = cur[:half], cur[half:]
+    s = gl.ext_add(e_pos, e_neg)  # f(x) + f(-x)
+    d = gl.ext_sub(e_pos, e_neg)
+    inv2 = jnp.uint64(pow(2, P - 2, P))
+    half_sum = gl.mul(s, inv2)
+    slope = gl.mul(d, inv2x[:, None])  # (f(x)-f(-x)) / (2x)
+    return gl.ext_add(half_sum, gl.ext_mul(slope, jnp.broadcast_to(beta_arr, slope.shape)))
+
+
 def fold_layers(evals: jnp.ndarray, shift: int, cfg: FriConfig, challenger: Challenger):
     """Commit phase.  evals: [N, 2] ext values on coset shift*<w_N>.
 
@@ -80,15 +97,8 @@ def fold_layers(evals: jnp.ndarray, shift: int, cfg: FriConfig, challenger: Chal
         beta = challenger.get_extension_challenge()
         betas.append(beta)
         inv2x = jnp.asarray(_inv_2x_table(m.bit_length() - 1, cur_shift))
-        e_pos, e_neg = cur[:half], cur[half:]
-        s = gl.ext_add(e_pos, e_neg)  # f(x) + f(-x)
-        d = gl.ext_sub(e_pos, e_neg)
-        # (s/2) handled by folding the 1/2 into inv2x? keep explicit:
-        inv2 = jnp.uint64(pow(2, P - 2, P))
-        half_sum = gl.mul(s, inv2)
-        slope = gl.mul(d, inv2x[:, None])  # (f(x)-f(-x)) / (2x)
         beta_arr = jnp.asarray(np.array(beta, dtype=np.uint64))
-        cur = gl.ext_add(half_sum, gl.ext_mul(slope, jnp.broadcast_to(beta_arr, slope.shape)))
+        cur = _fold_step(cur, inv2x, beta_arr)
         cur_shift = cur_shift * cur_shift % P
         layer_evals.append(np.asarray(cur))
 
