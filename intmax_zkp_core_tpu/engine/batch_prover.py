@@ -1,0 +1,394 @@
+"""Batched proving: K same-circuit proofs in one device pass.
+
+Proof-level parallelism on a single chip (SURVEY §2.3): the N user-tx +
+N signature proofs a block needs are independent, so every device kernel
+of the prover vmaps over a leading proof axis — one dispatch per phase
+for ALL K proofs — while each proof keeps its own host-side Fiat-Shamir
+transcript.  The resulting proofs are bit-identical to running
+``prove`` K times (asserted by tests), so verification and recursion are
+unchanged.  The reference's only parallelism is rayon threads inside one
+proof (``Cargo.toml:16,20``); batching across proofs is the TPU-native
+axis that replaces it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import goldilocks as gl
+from ..ops import merkle as mk
+from ..ops import ntt as nt
+from ..ops import poseidon as ps
+from .algebra import ext_add, ext_mul
+from .challenger import Challenger
+from .circuit import CircuitData
+from .fri import FriProof, _fold_step, _inv_2x_table, grind_pow, query_rounds
+from .prover import (
+    Proof,
+    _cap_tuples,
+    _combine_columns,
+    _gate_quotient_chunk,
+    _open_columns,
+    compute_wire_matrix,
+    get_circuit_kernels,
+    n_chunks,
+)
+from .witness import PartialWitness
+
+P = gl.P_INT
+
+# module-level caches of vmapped kernels (jit re-specializes per K/shape)
+_VMAP_JITS: dict = {}
+
+
+def _vmapped(name: str, fn, in_axes, use_jit: bool):
+    key = (name, id(fn), in_axes, use_jit)
+    entry = _VMAP_JITS.get(key)
+    if entry is None:
+        v = jax.vmap(fn, in_axes=in_axes)
+        entry = jax.jit(v) if use_jit else v
+        _VMAP_JITS[key] = entry
+    return entry
+
+
+@jax.jit
+def _fri_initial_one(comb1, comb2, xs_ext, zeta, gzeta, c1z, c2gz):
+    """Initial FRI evaluation vector G for one proof (vmapped below)."""
+
+    def sub_const_ext(arr, cst):
+        out0 = gl.sub(arr[..., 0], cst[0])
+        out1 = gl.sub(arr[..., 1], cst[1])
+        return jnp.stack([out0, out1], axis=-1)
+
+    denom1 = gl.ext_inv(sub_const_ext(xs_ext, zeta))
+    denom2 = gl.ext_inv(sub_const_ext(xs_ext, gzeta))
+    num1 = sub_const_ext(comb1, c1z)
+    num2 = sub_const_ext(comb2, c2gz)
+    return gl.ext_add(gl.ext_mul(num1, denom1), gl.ext_mul(num2, denom2))
+
+
+def _commit_batch(matrices: np.ndarray, rate_bits: int, cap_height: int,
+                  from_coeffs: bool = False):
+    """[K, S, n] -> (coeffs [K, S, n], lde [K, S, lde_n], K trees).  The
+    NTT/LDE fold the proof axis into the row axis (one dispatch); Merkle
+    levels are built for all K trees at once."""
+    K, S, n = matrices.shape
+    if from_coeffs:
+        coeffs = jnp.asarray(matrices).reshape(K * S, n)
+    else:
+        coeffs = nt.intt(jnp.asarray(matrices).reshape(K * S, n))
+    lde = nt.coset_lde(coeffs, rate_bits)
+    lde_k = lde.reshape(K, S, -1)
+    trees = mk.build_merkle_trees_batch(jnp.transpose(lde_k, (0, 2, 1)), cap_height)
+    return (
+        np.asarray(coeffs).reshape(K, S, n),
+        np.asarray(lde_k),
+        trees,
+    )
+
+
+def prove_batch(circuit_data: CircuitData, pws: list) -> list:
+    """Prove K witnesses of one circuit; returns K proofs bit-identical to
+    sequential ``prove`` calls."""
+    pd = circuit_data.prover
+    common = pd.common
+    cfg = common.config
+    n = common.n
+    fri_cfg = cfg.fri
+    lde_n = n * fri_cfg.blowup
+    R = cfg.num_routed_wires
+    C = cfg.num_challenges
+    nch = n_chunks(R)
+    K = len(pws)
+    assert K >= 1
+    kernels = get_circuit_kernels(pd)
+    intern = kernels["_internals"]
+    use_jit = intern["use_jit"]
+
+    # ---- 1. witness fill (host, per proof) ----
+    wires_all = np.empty((K, cfg.num_wires, n), dtype=np.uint64)
+    public_inputs_all = []
+    pi_hashes = []
+    for k, pw in enumerate(pws):
+        wires, public_inputs = compute_wire_matrix(pd, pw)
+        wires_all[k] = wires
+        public_inputs_all.append(public_inputs)
+        pi_hashes.append(ps.hash_no_pad_s(public_inputs))
+
+    # ---- 2. commit wires ----
+    wire_coeffs, wire_lde, wires_trees = _commit_batch(
+        wires_all, fri_cfg.rate_bits, fri_cfg.cap_height
+    )
+
+    challengers = [Challenger() for _ in range(K)]
+    betas = np.empty((K, C), dtype=np.uint64)
+    gammas = np.empty((K, C), dtype=np.uint64)
+    for k, ch in enumerate(challengers):
+        ch.observe_hash(common.circuit_digest)
+        ch.observe_hash(pi_hashes[k])
+        ch.observe_cap(_cap_tuples(wires_trees[k]))
+        betas[k] = ch.get_n_challenges(C)
+        gammas[k] = ch.get_n_challenges(C)
+
+    # ---- 3. permutation argument columns ----
+    perm_batch = _vmapped(
+        "perm_columns", intern["perm_columns_impl"], (0, 0, 0, None, None), use_jit
+    )
+    z_cols_d, pp_cols_d, wraps = perm_batch(
+        jnp.asarray(wires_all[:, :R]),
+        jnp.asarray(betas),
+        jnp.asarray(gammas),
+        intern["id_vals"],
+        intern["sigma"],
+    )
+    assert (np.asarray(wraps) == 1).all(), (
+        "permutation argument product != 1 (sigma inconsistent)"
+    )
+    zs_pp_matrices = np.concatenate(
+        [
+            np.asarray(z_cols_d),
+            np.asarray(pp_cols_d).reshape(K, C * (nch - 1), n),
+        ],
+        axis=1,
+    )
+    zspp_coeffs, zspp_lde, zs_pp_trees = _commit_batch(
+        zs_pp_matrices, fri_cfg.rate_bits, fri_cfg.cap_height
+    )
+    alphas = np.empty((K, C), dtype=np.uint64)
+    for k, ch in enumerate(challengers):
+        ch.observe_cap(_cap_tuples(zs_pp_trees[k]))
+        alphas[k] = ch.get_n_challenges(C)
+
+    # ---- 4. quotient (vmapped chunked kernels) ----
+    wires_lde_arr = jnp.asarray(wire_lde)
+    zs_lde_arr = jnp.asarray(zspp_lde[:, :C])
+    pps_lde_arr = jnp.asarray(zspp_lde[:, C:].reshape(K, C, nch - 1, lde_n))
+    alphas_arr = jnp.asarray(alphas)
+    pi_arr = jnp.asarray(np.array(pi_hashes, dtype=np.uint64))
+
+    pqp_batch = _vmapped(
+        "perm_quotient",
+        intern["perm_quotient_part"],
+        (0, 0, 0, 0, 0, 0, None, None, None),
+        use_jit,
+    )
+    acc, apows = pqp_batch(
+        wires_lde_arr,
+        zs_lde_arr,
+        pps_lde_arr,
+        jnp.asarray(betas),
+        jnp.asarray(gammas),
+        alphas_arr,
+        intern["sigma_lde"],
+        intern["xs"],
+        intern["l0"],
+    )
+    for gi, chunk_key in intern["gate_chunk_keys"]:
+        raw = _gate_quotient_chunk(*chunk_key, use_jit=False)
+        fn = _vmapped(
+            f"chunk:{chunk_key}", raw, (0, None, None, 0, 0, 0, 0), use_jit
+        )
+        acc, apows = fn(
+            wires_lde_arr,
+            intern["sel_cols"][gi],
+            intern["const_lde"],
+            pi_arr,
+            alphas_arr,
+            acc,
+            apows,
+        )
+    finish_batch = _vmapped(
+        "finish", intern["quotient_finish"], (0, None, None), use_jit
+    )
+    quotient_matrices = np.asarray(
+        finish_batch(acc, intern["z_h"], intern["shift_pows"])
+    )
+    quot_coeffs, quot_lde, quotient_trees = _commit_batch(
+        quotient_matrices, fri_cfg.rate_bits, fri_cfg.cap_height, from_coeffs=True
+    )
+    zetas = []
+    for k, ch in enumerate(challengers):
+        ch.observe_cap(_cap_tuples(quotient_trees[k]))
+        zetas.append(ch.get_extension_challenge())
+
+    # ---- 5. openings ----
+    g_n = gl.primitive_root_of_unity(n.bit_length() - 1)
+    gzetas = [(z[0] * g_n % P, z[1] * g_n % P) for z in zetas]
+    cs_coeffs_b = np.broadcast_to(
+        pd.cs_coeffs[None], (K,) + pd.cs_coeffs.shape
+    )
+    all_coeffs = np.concatenate(
+        [cs_coeffs_b, wire_coeffs, zspp_coeffs, quot_coeffs], axis=1
+    )
+    open_batch = _vmapped("open", _open_columns, (0, 0), use_jit)
+    zetas_arr = jnp.asarray(np.array(zetas, dtype=np.uint64))
+    gzetas_arr = jnp.asarray(np.array(gzetas, dtype=np.uint64))
+    opens_zeta = np.asarray(open_batch(jnp.asarray(all_coeffs), zetas_arr))
+    opens_gzeta_z = np.asarray(
+        open_batch(jnp.asarray(zspp_coeffs[:, :C]), gzetas_arr)
+    )
+
+    n_cs = pd.cs_coeffs.shape[0]
+    n_w = cfg.num_wires
+    n_zpp = zspp_coeffs.shape[1]
+    openings_all = []
+    for k, ch in enumerate(challengers):
+        oz = opens_zeta[k]
+        openings = {
+            "constants_sigmas": [tuple(int(x) for x in o) for o in oz[:n_cs]],
+            "wires": [tuple(int(x) for x in o) for o in oz[n_cs : n_cs + n_w]],
+            "zs_pp": [
+                tuple(int(x) for x in o) for o in oz[n_cs + n_w : n_cs + n_w + n_zpp]
+            ],
+            "quotient": [tuple(int(x) for x in o) for o in oz[n_cs + n_w + n_zpp :]],
+            "zs_next": [tuple(int(x) for x in o) for o in opens_gzeta_z[k]],
+        }
+        for name in ["constants_sigmas", "wires", "zs_pp", "quotient", "zs_next"]:
+            for o in openings[name]:
+                ch.observe_ext(o)
+        openings_all.append(openings)
+
+    # ---- 6. FRI ----
+    alpha_fris = [ch.get_extension_challenge() for ch in challengers]
+    cs_lde_b = np.broadcast_to(pd.cs_lde[None], (K,) + pd.cs_lde.shape)
+    batch1_lde = np.concatenate([cs_lde_b, wire_lde, zspp_lde, quot_lde], axis=1)
+    m1 = batch1_lde.shape[1]
+
+    alpha_pows_all = np.empty((K, m1 + C, 2), dtype=np.uint64)
+    for k in range(K):
+        apow = (1, 0)
+        for i in range(m1 + C):
+            alpha_pows_all[k, i] = apow
+            apow = ext_mul(apow, alpha_fris[k])
+
+    combine_batch = _vmapped("combine", _combine_columns, (0, 0), use_jit)
+    comb1 = combine_batch(
+        jnp.asarray(batch1_lde), jnp.asarray(alpha_pows_all[:, :m1])
+    )
+    comb2 = combine_batch(
+        jnp.asarray(zspp_lde[:, :C]), jnp.asarray(alpha_pows_all[:, m1 : m1 + C])
+    )
+
+    comb1_at = np.empty((K, 2), dtype=np.uint64)
+    comb2_at = np.empty((K, 2), dtype=np.uint64)
+    for k in range(K):
+        o = openings_all[k]
+        flat = o["constants_sigmas"] + o["wires"] + o["zs_pp"] + o["quotient"]
+        acc1 = (0, 0)
+        for i, y in enumerate(flat):
+            pw_i = (int(alpha_pows_all[k, i, 0]), int(alpha_pows_all[k, i, 1]))
+            acc1 = ext_add(acc1, ext_mul(pw_i, y))
+        acc2 = (0, 0)
+        for j, y in enumerate(o["zs_next"]):
+            pw_j = (
+                int(alpha_pows_all[k, m1 + j, 0]),
+                int(alpha_pows_all[k, m1 + j, 1]),
+            )
+            acc2 = ext_add(acc2, ext_mul(pw_j, y))
+        comb1_at[k] = acc1
+        comb2_at[k] = acc2
+
+    log_lde = lde_n.bit_length() - 1
+    w_lde = gl.primitive_root_of_unity(log_lde)
+    xs = np.empty(lde_n, dtype=np.uint64)
+    x_acc = gl.MULTIPLICATIVE_GROUP_GENERATOR % P
+    for i in range(lde_n):
+        xs[i] = x_acc
+        x_acc = x_acc * w_lde % P
+    xs_ext = jnp.stack([jnp.asarray(xs), jnp.zeros(lde_n, dtype=jnp.uint64)], axis=-1)
+
+    fri_init_batch = _vmapped(
+        "fri_init", _fri_initial_one, (0, 0, None, 0, 0, 0, 0), use_jit
+    )
+    G = fri_init_batch(
+        comb1,
+        comb2,
+        xs_ext,
+        zetas_arr,
+        gzetas_arr,
+        jnp.asarray(comb1_at),
+        jnp.asarray(comb2_at),
+    )
+
+    # fold all K proofs in lockstep (per-proof transcripts drive the betas)
+    fold_batch = _vmapped("fold", _fold_step, (0, None, 0), use_jit)
+    trees_per = [[] for _ in range(K)]
+    layer_evals_per = [[] for _ in range(K)]
+    cur = G  # [K, N, 2]
+    cur_np = np.asarray(cur)
+    for k in range(K):
+        layer_evals_per[k].append(cur_np[k])
+    cur_shift = gl.MULTIPLICATIVE_GROUP_GENERATOR % P
+    while cur.shape[1] > fri_cfg.final_poly_len * fri_cfg.blowup:
+        m = cur.shape[1]
+        half = m // 2
+        leaf = jnp.concatenate([cur[:, :half], cur[:, half:]], axis=2)  # [K, half, 4]
+        layer_trees = mk.build_merkle_trees_batch(
+            leaf, min(fri_cfg.cap_height, (half - 1).bit_length())
+        )
+        layer_betas = np.empty((K, 2), dtype=np.uint64)
+        for k, ch in enumerate(challengers):
+            trees_per[k].append(layer_trees[k])
+            ch.observe_cap(_cap_tuples(layer_trees[k]))
+            layer_betas[k] = ch.get_extension_challenge()
+        inv2x = jnp.asarray(_inv_2x_table(m.bit_length() - 1, cur_shift))
+        cur = fold_batch(cur, inv2x, jnp.asarray(layer_betas))
+        cur_shift = cur_shift * cur_shift % P
+        cur_np = np.asarray(cur)
+        for k in range(K):
+            layer_evals_per[k].append(cur_np[k])
+
+    # final polynomial per proof: both extension components for all K
+    # proofs in one coset_ilde call
+    final_n = cur.shape[1]
+    flat = jnp.concatenate([cur[:, :, 0], cur[:, :, 1]], axis=0)  # [2K, final_n]
+    final_coeffs = np.asarray(nt.coset_ilde(flat, fri_cfg.rate_bits, cur_shift))
+    final_polys = []
+    for k in range(K):
+        fp = [
+            (int(a), int(b))
+            for a, b in zip(final_coeffs[k], final_coeffs[K + k])
+        ]
+        for c in fp:
+            challengers[k].observe_ext(c)
+        final_polys.append(fp)
+
+    proofs = []
+    for k, ch in enumerate(challengers):
+        pow_witness = grind_pow(ch, fri_cfg.proof_of_work_bits)
+        indices, rounds = query_rounds(
+            trees_per[k], layer_evals_per[k], fri_cfg, ch, lde_n
+        )
+        named_trees = {
+            "constants_sigmas": (pd.cs_lde, pd.cs_tree),
+            "wires": (wire_lde[k], wires_trees[k]),
+            "zs_pp": (zspp_lde[k], zs_pp_trees[k]),
+            "quotient": (quot_lde[k], quotient_trees[k]),
+        }
+        initial_openings = []
+        for idx in indices:
+            per = {}
+            for name, (lde, tree) in named_trees.items():
+                leaf = [int(x) for x in lde[:, idx]]
+                path = [tuple(int(x) for x in d) for d in tree.prove(idx)]
+                per[name] = (leaf, path)
+            initial_openings.append(per)
+        proofs.append(
+            Proof(
+                wires_cap=_cap_tuples(wires_trees[k]),
+                zs_pp_cap=_cap_tuples(zs_pp_trees[k]),
+                quotient_cap=_cap_tuples(quotient_trees[k]),
+                openings=openings_all[k],
+                fri=FriProof(
+                    caps=[_cap_tuples(t) for t in trees_per[k]],
+                    final_poly=final_polys[k],
+                    pow_witness=pow_witness,
+                    query_rounds=rounds,
+                ),
+                initial_openings=initial_openings,
+                public_inputs=[int(v) for v in public_inputs_all[k]],
+            )
+        )
+    return proofs

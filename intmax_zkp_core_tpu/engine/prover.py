@@ -335,6 +335,7 @@ def get_circuit_kernels(pd):
     finish_fn = _wrap(quotient_finish)
     sel_cols = [sel_lde[i] for i in range(n_sel)]
     gate_chunks = []
+    gate_chunk_keys = []
     for gi, gate_id in enumerate(common.gate_ids):
         nc = GATE_TYPES[gate_id].num_constraints
         for lo in range(0, nc, GATE_QUOTIENT_CHUNK):
@@ -343,6 +344,9 @@ def get_circuit_kernels(pd):
                 gate_id, lo, hi, cfg.num_wires, common.n_const_cols, C, use_jit
             )
             gate_chunks.append((gi, fn))
+            gate_chunk_keys.append(
+                (gi, (gate_id, lo, hi, cfg.num_wires, common.n_const_cols, C))
+            )
 
     def quotient(wires_lde, zs_lde, pps_lde, betas, gammas, alphas, pi_hash):
         """wires_lde [W, lde_n]; zs_lde [C, lde_n]; pps_lde [C, nch-1, lde_n];
@@ -361,6 +365,24 @@ def get_circuit_kernels(pd):
     kernels = {
         "perm_columns": perm_columns,
         "quotient": quotient,
+        # raw pieces + baked tables for the batch prover (engine/batch_prover
+        # vmaps these over a leading proof axis)
+        "_internals": {
+            "perm_columns_impl": perm_columns_impl,
+            "perm_quotient_part": perm_quotient_part,
+            "quotient_finish": quotient_finish,
+            "gate_chunk_keys": gate_chunk_keys,
+            "sel_cols": sel_cols,
+            "const_lde": const_lde,
+            "sigma_lde": sigma_lde_c,
+            "xs": xs_c,
+            "l0": l0_c,
+            "z_h": z_h_c,
+            "shift_pows": shift_pows_c,
+            "id_vals": id_vals_c,
+            "sigma": sigma_c,
+            "use_jit": use_jit,
+        },
     }
     pd._kernels = kernels
     return kernels

@@ -75,6 +75,32 @@ def build_merkle_tree(leaf_data, cap_height: int) -> MerkleTree:
     return MerkleTree(levels=levels, cap_height=cap_height)
 
 
+def build_merkle_trees_batch(leaf_data, cap_height: int) -> list:
+    """K independent same-shape trees in one pass: leaf_data [K, m, w].
+
+    Every level hashes ALL K trees' nodes in one ``two_to_one`` dispatch
+    (the batch axis folds into the row axis), so the device cost of K
+    trees is one tree's dispatch count.  Returns K ``MerkleTree``s."""
+    leaf_data = jnp.asarray(leaf_data, dtype=jnp.uint64)
+    K, m, w = leaf_data.shape
+    assert m & (m - 1) == 0, "leaf count must be a power of two"
+    assert m >= 1 << cap_height
+    digests = hash_leaves(leaf_data.reshape(K * m, w)).reshape(K, m, 4)
+    levels_dev = [digests]
+    while levels_dev[-1].shape[1] > 1 << cap_height:
+        cur = levels_dev[-1]
+        half = cur.shape[1] // 2
+        nxt = ps.two_to_one(
+            cur[:, 0::2].reshape(K * half, 4), cur[:, 1::2].reshape(K * half, 4)
+        ).reshape(K, half, 4)
+        levels_dev.append(nxt)
+    levels_np = [np.asarray(lv) for lv in levels_dev]
+    return [
+        MerkleTree(levels=[lv[k] for lv in levels_np], cap_height=cap_height)
+        for k in range(K)
+    ]
+
+
 def verify_merkle_proof(
     leaf_data, index: int, path: list, cap: np.ndarray
 ) -> bool:
