@@ -9,6 +9,7 @@ device; host code only orchestrates and runs the Fiat-Shamir transcript.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -35,8 +36,10 @@ CHUNK = 7
 
 # constraints per jitted quotient chunk: bounds the size of any single
 # device compile (one monolithic quotient graph for a many-constraint gate
-# overwhelms remote compile services; see docs/perf_notes.md)
-GATE_QUOTIENT_CHUNK = 24
+# overwhelms remote compile services; see docs/perf_notes.md).  Overridable
+# via INTMAX_TPU_GATE_CHUNK for experiments — NOTE changing it invalidates
+# every cached chunk compile for the affected gates.
+GATE_QUOTIENT_CHUNK = int(os.environ.get("INTMAX_TPU_GATE_CHUNK", "24"))
 
 # (gate_id, lo, hi, num_wires, n_const, C) -> (fn, jitted fn); module-level
 # so identical chunks are traced/compiled once across circuits in-process

@@ -50,6 +50,21 @@ class BlockFlowResult:
     block_circuit: object
 
 
+def _prove_group(circuit, pws: list, prove: bool) -> list:
+    """Prove several witnesses of one circuit: batched in one device pass
+    on accelerators (engine/batch_prover — bit-identical to sequential),
+    sequential on CPU where vmap-eager dispatch is slower."""
+    if not prove:
+        return [_prove_or_check(circuit, pw, prove) for pw in pws]
+    import jax
+
+    if jax.default_backend() != "cpu" and len(pws) > 1:
+        from ...engine.batch_prover import prove_batch
+
+        return prove_batch(circuit.data, pws)
+    return [circuit.data.prove(pw) for pw in pws]
+
+
 def _prove_or_check(circuit, pw, prove: bool):
     if prove:
         return circuit.data.prove(pw)
@@ -184,32 +199,32 @@ def run_block_flow(
     sender1_nonce = HashOut(
         (7823975322825286183, 9539665429968124165, 6825628074508059665, 17852854585777218254)
     )
-    pw = PartialWitness()
+    pw1 = PartialWitness()
     merge_and_purge_circuit.targets.set_witness(
-        pw, sender1_account.address, [],
+        pw1, sender1_account.address, [],
         sender1_input_witness[: constants.n_diffs],
         sender1_output_witness[: constants.n_diffs],
         sender1_nonce, sender1_input_witness[0][0].old_root,
     )
-    sender1_tx_proof = _prove_or_check(merge_and_purge_circuit, pw, prove)
 
     sender2_nonce = HashOut(
         (6657881311364026367, 11761473381903976612, 10768494808833234712, 3223267375194257474)
     )
-    pw = PartialWitness()
+    pw2 = PartialWitness()
     merge_and_purge_circuit.targets.set_witness(
-        pw, sender2_account.address, [merge_proof],
+        pw2, sender2_account.address, [merge_proof],
         sender2_input_witness[: constants.n_diffs],
         sender2_output_witness[: constants.n_diffs],
         sender2_nonce, HashOut.ZERO,
     )
-    sender2_tx_proof = _prove_or_check(merge_and_purge_circuit, pw, prove)
 
-    pw = PartialWitness()
+    pw3 = PartialWitness()
     merge_and_purge_circuit.targets.set_witness(
-        pw, Address(0), [], [], [], HashOut.ZERO, HashOut.ZERO
+        pw3, Address(0), [], [], [], HashOut.ZERO, HashOut.ZERO
     )
-    default_user_tx_proof = _prove_or_check(merge_and_purge_circuit, pw, prove)
+    sender1_tx_proof, sender2_tx_proof, default_user_tx_proof = _prove_group(
+        merge_and_purge_circuit, [pw1, pw2, pw3], prove
+    )
 
     # --- proposal ---
     world_state_process_proofs = []
@@ -225,15 +240,15 @@ def run_block_flow(
     proposal_world_state_root = world_state_tree.get_root()
 
     zkdsa_circuit = make_simple_signature_circuit(config)
-    pw = PartialWitness()
+    pw1 = PartialWitness()
     zkdsa_circuit.targets.set_witness(
-        pw, sender2_account.private_key, proposal_world_state_root
+        pw1, sender2_account.private_key, proposal_world_state_root
     )
-    sender2_received_signature = _prove_or_check(zkdsa_circuit, pw, prove)
-
-    pw = PartialWitness()
-    zkdsa_circuit.targets.set_witness(pw, HashOut.ZERO, HashOut.ZERO)
-    default_signature_proof = _prove_or_check(zkdsa_circuit, pw, prove)
+    pw2 = PartialWitness()
+    zkdsa_circuit.targets.set_witness(pw2, HashOut.ZERO, HashOut.ZERO)
+    sender2_received_signature, default_signature_proof = _prove_group(
+        zkdsa_circuit, [pw1, pw2], prove
+    )
 
     block_circuit = make_block_proof_circuit(
         constants, merge_and_purge_circuit, zkdsa_circuit, config,

@@ -28,7 +28,24 @@ def prove_many(circuit, set_witness_fns: list) -> list:
     PartialWitness for each proof.  Host witness generation for proof i+1
     overlaps the device work of proof i (the device queue serializes the
     accelerator side while the Python side prepares the next witness).
+
+    On accelerators the proofs are generated in ONE batched device pass
+    (``engine.batch_prover.prove_batch``, bit-identical to sequential);
+    the pipelined sequential path remains for CPU, where vmap-eager
+    dispatch is slower than looping.
     """
+    import jax
+
+    if jax.default_backend() != "cpu" and len(set_witness_fns) > 1:
+        from ..engine.batch_prover import prove_batch
+
+        pws = []
+        for fn in set_witness_fns:
+            pw = PartialWitness()
+            fn(pw)
+            pws.append(pw)
+        return prove_batch(circuit.data, pws)
+
     results: list = [None] * len(set_witness_fns)
 
     def prepare(i):
