@@ -69,11 +69,14 @@ def _fri_initial_one(comb1, comb2, xs_ext, zeta, gzeta, c1z, c2gz):
     return gl.ext_add(gl.ext_mul(num1, denom1), gl.ext_mul(num2, denom2))
 
 
-def _commit_batch(matrices: np.ndarray, rate_bits: int, cap_height: int,
-                  from_coeffs: bool = False):
-    """[K, S, n] -> (coeffs [K, S, n], lde [K, S, lde_n], K trees).  The
-    NTT/LDE fold the proof axis into the row axis (one dispatch); Merkle
-    levels are built for all K trees at once."""
+def _commit_batch(matrices, rate_bits: int, cap_height: int,
+                  from_coeffs: bool = False, extras=()):
+    """[K, S, n] (numpy or device) ->
+    (coeffs_dev [K, S, n], lde_dev [K, S, lde_n], lde_np, K trees,
+    extras_np).  The NTT/LDE fold the proof axis into the row axis (one
+    dispatch); Merkle levels are built for all K trees at once, and the
+    LDE + all tree levels + ``extras`` come back in ONE host transfer
+    (coefficients stay on device for the openings/FRI stages)."""
     K, S, n = matrices.shape
     if from_coeffs:
         coeffs = jnp.asarray(matrices).reshape(K * S, n)
@@ -81,12 +84,12 @@ def _commit_batch(matrices: np.ndarray, rate_bits: int, cap_height: int,
         coeffs = nt.intt(jnp.asarray(matrices).reshape(K * S, n))
     lde = nt.coset_lde(coeffs, rate_bits)
     lde_k = lde.reshape(K, S, -1)
-    trees = mk.build_merkle_trees_batch(jnp.transpose(lde_k, (0, 2, 1)), cap_height)
-    return (
-        np.asarray(coeffs).reshape(K, S, n),
-        np.asarray(lde_k),
-        trees,
-    )
+    levels_dev = mk.build_merkle_levels_batch(jnp.transpose(lde_k, (0, 2, 1)), cap_height)
+    fetched = mk.fetch_arrays(lde_k, *extras, *levels_dev)
+    lde_np = fetched[0]
+    extras_np = tuple(fetched[1 : 1 + len(extras)])
+    trees = mk.trees_from_batch_levels(list(fetched[1 + len(extras) :]), cap_height)
+    return coeffs.reshape(K, S, n), lde_k, lde_np, trees, extras_np
 
 
 def prove_batch(circuit_data: CircuitData, pws: list) -> list:
@@ -118,7 +121,7 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
         pi_hashes.append(ps.hash_no_pad_s(public_inputs))
 
     # ---- 2. commit wires ----
-    wire_coeffs, wire_lde, wires_trees = _commit_batch(
+    wire_coeffs_dev, wire_lde_dev, wire_lde, wires_trees, _ = _commit_batch(
         wires_all, fri_cfg.rate_bits, fri_cfg.cap_height
     )
 
@@ -143,18 +146,14 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
         intern["id_vals"],
         intern["sigma"],
     )
-    assert (np.asarray(wraps) == 1).all(), (
+    zs_pp_matrices_dev = jnp.concatenate(
+        [z_cols_d, pp_cols_d.reshape(K, C * (nch - 1), n)], axis=1
+    )
+    zspp_coeffs_dev, zspp_lde_dev, zspp_lde, zs_pp_trees, (wraps_np,) = _commit_batch(
+        zs_pp_matrices_dev, fri_cfg.rate_bits, fri_cfg.cap_height, extras=(wraps,)
+    )
+    assert (wraps_np == 1).all(), (
         "permutation argument product != 1 (sigma inconsistent)"
-    )
-    zs_pp_matrices = np.concatenate(
-        [
-            np.asarray(z_cols_d),
-            np.asarray(pp_cols_d).reshape(K, C * (nch - 1), n),
-        ],
-        axis=1,
-    )
-    zspp_coeffs, zspp_lde, zs_pp_trees = _commit_batch(
-        zs_pp_matrices, fri_cfg.rate_bits, fri_cfg.cap_height
     )
     alphas = np.empty((K, C), dtype=np.uint64)
     for k, ch in enumerate(challengers):
@@ -162,9 +161,9 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
         alphas[k] = ch.get_n_challenges(C)
 
     # ---- 4. quotient (vmapped chunked kernels) ----
-    wires_lde_arr = jnp.asarray(wire_lde)
-    zs_lde_arr = jnp.asarray(zspp_lde[:, :C])
-    pps_lde_arr = jnp.asarray(zspp_lde[:, C:].reshape(K, C, nch - 1, lde_n))
+    wires_lde_arr = wire_lde_dev
+    zs_lde_arr = zspp_lde_dev[:, :C]
+    pps_lde_arr = zspp_lde_dev[:, C:].reshape(K, C, nch - 1, lde_n)
     alphas_arr = jnp.asarray(alphas)
     pi_arr = jnp.asarray(np.array(pi_hashes, dtype=np.uint64))
 
@@ -202,11 +201,9 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
     finish_batch = _vmapped(
         "finish", intern["quotient_finish"], (0, None, None), use_jit
     )
-    quotient_matrices = np.asarray(
-        finish_batch(acc, intern["z_h"], intern["shift_pows"])
-    )
-    quot_coeffs, quot_lde, quotient_trees = _commit_batch(
-        quotient_matrices, fri_cfg.rate_bits, fri_cfg.cap_height, from_coeffs=True
+    quotient_matrices_dev = finish_batch(acc, intern["z_h"], intern["shift_pows"])
+    quot_coeffs_dev, quot_lde_dev, quot_lde, quotient_trees, _ = _commit_batch(
+        quotient_matrices_dev, fri_cfg.rate_bits, fri_cfg.cap_height, from_coeffs=True
     )
     zetas = []
     for k, ch in enumerate(challengers):
@@ -216,23 +213,24 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
     # ---- 5. openings ----
     g_n = gl.primitive_root_of_unity(n.bit_length() - 1)
     gzetas = [(z[0] * g_n % P, z[1] * g_n % P) for z in zetas]
-    cs_coeffs_b = np.broadcast_to(
-        pd.cs_coeffs[None], (K,) + pd.cs_coeffs.shape
+    cs_coeffs_dev = intern["cs_coeffs_dev"]
+    cs_coeffs_b = jnp.broadcast_to(
+        cs_coeffs_dev[None], (K,) + cs_coeffs_dev.shape
     )
-    all_coeffs = np.concatenate(
-        [cs_coeffs_b, wire_coeffs, zspp_coeffs, quot_coeffs], axis=1
+    all_coeffs_dev = jnp.concatenate(
+        [cs_coeffs_b, wire_coeffs_dev, zspp_coeffs_dev, quot_coeffs_dev], axis=1
     )
     open_batch = _vmapped("open", _open_columns, (0, 0), use_jit)
     zetas_arr = jnp.asarray(np.array(zetas, dtype=np.uint64))
     gzetas_arr = jnp.asarray(np.array(gzetas, dtype=np.uint64))
-    opens_zeta = np.asarray(open_batch(jnp.asarray(all_coeffs), zetas_arr))
-    opens_gzeta_z = np.asarray(
-        open_batch(jnp.asarray(zspp_coeffs[:, :C]), gzetas_arr)
+    opens_zeta, opens_gzeta_z = mk.fetch_arrays(
+        open_batch(all_coeffs_dev, zetas_arr),
+        open_batch(zspp_coeffs_dev[:, :C], gzetas_arr),
     )
 
     n_cs = pd.cs_coeffs.shape[0]
     n_w = cfg.num_wires
-    n_zpp = zspp_coeffs.shape[1]
+    n_zpp = zspp_coeffs_dev.shape[1]
     openings_all = []
     for k, ch in enumerate(challengers):
         oz = opens_zeta[k]
@@ -252,9 +250,12 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
 
     # ---- 6. FRI ----
     alpha_fris = [ch.get_extension_challenge() for ch in challengers]
-    cs_lde_b = np.broadcast_to(pd.cs_lde[None], (K,) + pd.cs_lde.shape)
-    batch1_lde = np.concatenate([cs_lde_b, wire_lde, zspp_lde, quot_lde], axis=1)
-    m1 = batch1_lde.shape[1]
+    cs_lde_dev = intern["cs_lde_dev"]
+    cs_lde_b = jnp.broadcast_to(cs_lde_dev[None], (K,) + cs_lde_dev.shape)
+    batch1_lde_dev = jnp.concatenate(
+        [cs_lde_b, wire_lde_dev, zspp_lde_dev, quot_lde_dev], axis=1
+    )
+    m1 = batch1_lde_dev.shape[1]
 
     alpha_pows_all = np.empty((K, m1 + C, 2), dtype=np.uint64)
     for k in range(K):
@@ -265,10 +266,10 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
 
     combine_batch = _vmapped("combine", _combine_columns, (0, 0), use_jit)
     comb1 = combine_batch(
-        jnp.asarray(batch1_lde), jnp.asarray(alpha_pows_all[:, :m1])
+        batch1_lde_dev, jnp.asarray(alpha_pows_all[:, :m1])
     )
     comb2 = combine_batch(
-        jnp.asarray(zspp_lde[:, :C]), jnp.asarray(alpha_pows_all[:, m1 : m1 + C])
+        zspp_lde_dev[:, :C], jnp.asarray(alpha_pows_all[:, m1 : m1 + C])
     )
 
     comb1_at = np.empty((K, 2), dtype=np.uint64)
@@ -290,14 +291,7 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
         comb1_at[k] = acc1
         comb2_at[k] = acc2
 
-    log_lde = lde_n.bit_length() - 1
-    w_lde = gl.primitive_root_of_unity(log_lde)
-    xs = np.empty(lde_n, dtype=np.uint64)
-    x_acc = gl.MULTIPLICATIVE_GROUP_GENERATOR % P
-    for i in range(lde_n):
-        xs[i] = x_acc
-        x_acc = x_acc * w_lde % P
-    xs_ext = jnp.stack([jnp.asarray(xs), jnp.zeros(lde_n, dtype=jnp.uint64)], axis=-1)
+    xs_ext = jnp.stack([intern["xs"], jnp.zeros(lde_n, dtype=jnp.uint64)], axis=-1)
 
     fri_init_batch = _vmapped(
         "fri_init", _fri_initial_one, (0, 0, None, 0, 0, 0, 0), use_jit
@@ -312,14 +306,12 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
         jnp.asarray(comb2_at),
     )
 
-    # fold all K proofs in lockstep (per-proof transcripts drive the betas)
+    # fold all K proofs in lockstep (per-proof transcripts drive the betas).
+    # Layer eval pairs stay device-side: each layer tree's leaf level IS the
+    # pair table (4-wide hash_or_noop passthrough, see fri.query_rounds).
     fold_batch = _vmapped("fold", _fold_step, (0, None, 0), use_jit)
     trees_per = [[] for _ in range(K)]
-    layer_evals_per = [[] for _ in range(K)]
     cur = G  # [K, N, 2]
-    cur_np = np.asarray(cur)
-    for k in range(K):
-        layer_evals_per[k].append(cur_np[k])
     cur_shift = gl.MULTIPLICATIVE_GROUP_GENERATOR % P
     while cur.shape[1] > fri_cfg.final_poly_len * fri_cfg.blowup:
         m = cur.shape[1]
@@ -336,13 +328,9 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
         inv2x = jnp.asarray(_inv_2x_table(m.bit_length() - 1, cur_shift))
         cur = fold_batch(cur, inv2x, jnp.asarray(layer_betas))
         cur_shift = cur_shift * cur_shift % P
-        cur_np = np.asarray(cur)
-        for k in range(K):
-            layer_evals_per[k].append(cur_np[k])
 
     # final polynomial per proof: both extension components for all K
     # proofs in one coset_ilde call
-    final_n = cur.shape[1]
     flat = jnp.concatenate([cur[:, :, 0], cur[:, :, 1]], axis=0)  # [2K, final_n]
     final_coeffs = np.asarray(nt.coset_ilde(flat, fri_cfg.rate_bits, cur_shift))
     final_polys = []
@@ -358,9 +346,7 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
     proofs = []
     for k, ch in enumerate(challengers):
         pow_witness = grind_pow(ch, fri_cfg.proof_of_work_bits)
-        indices, rounds = query_rounds(
-            trees_per[k], layer_evals_per[k], fri_cfg, ch, lde_n
-        )
+        indices, rounds = query_rounds(trees_per[k], fri_cfg, ch, lde_n)
         named_trees = {
             "constants_sigmas": (pd.cs_lde, pd.cs_tree),
             "wires": (wire_lde[k], wires_trees[k]),

@@ -78,11 +78,14 @@ def _fold_step(cur: jnp.ndarray, inv2x: jnp.ndarray, beta_arr: jnp.ndarray) -> j
 def fold_layers(evals: jnp.ndarray, shift: int, cfg: FriConfig, challenger: Challenger):
     """Commit phase.  evals: [N, 2] ext values on coset shift*<w_N>.
 
-    Returns (trees, layer_evals, final_poly, betas).
+    Returns (trees, final_poly, betas).  Each layer's eval pairs are NOT
+    read back separately: a FRI leaf is 4 u64 wide, which ``hash_leaves``
+    passes through unhashed, so ``tree.levels[0]`` *is* the
+    ``[f(x_i), f(-x_i)]`` pair table (see ``query_rounds``).  Per layer the
+    only host synchronization is the tree transfer the Fiat-Shamir cap
+    observation needs.
     """
-    n = evals.shape[0]
     trees = []
-    layer_evals = [np.asarray(evals)]
     betas = []
     cur = evals
     cur_shift = shift % P
@@ -100,18 +103,17 @@ def fold_layers(evals: jnp.ndarray, shift: int, cfg: FriConfig, challenger: Chal
         beta_arr = jnp.asarray(np.array(beta, dtype=np.uint64))
         cur = _fold_step(cur, inv2x, beta_arr)
         cur_shift = cur_shift * cur_shift % P
-        layer_evals.append(np.asarray(cur))
 
     # final polynomial coefficients from remaining evals
-    final_n = cur.shape[0]
     rate_bits = cfg.rate_bits
     # components independently: coset_ilde with current shift
     c0 = nt.coset_ilde(cur[:, 0][None, :], rate_bits, cur_shift)[0]
     c1 = nt.coset_ilde(cur[:, 1][None, :], rate_bits, cur_shift)[0]
-    final_poly = [(int(a), int(b)) for a, b in zip(np.asarray(c0), np.asarray(c1))]
+    c0, c1 = mk.fetch_arrays(c0, c1)
+    final_poly = [(int(a), int(b)) for a, b in zip(c0, c1)]
     for c in final_poly:
         challenger.observe_ext(c)
-    return trees, layer_evals, final_poly, betas
+    return trees, final_poly, betas
 
 
 def grind_pow(challenger: Challenger, pow_bits: int) -> int:
@@ -149,9 +151,13 @@ def check_pow(challenger: Challenger, nonce: int, pow_bits: int) -> None:
 
 
 def query_rounds(
-    trees, layer_evals, cfg: FriConfig, challenger: Challenger, lde_n: int
+    trees, cfg: FriConfig, challenger: Challenger, lde_n: int
 ) -> tuple[list, list]:
-    """Sample query indices and open all folded layers."""
+    """Sample query indices and open all folded layers.
+
+    Layer eval pairs are read straight off each tree's leaf level: FRI
+    leaves are the 4-wide ``[f(x), f(-x)]`` pairs, which ``hash_leaves``
+    stores unhashed (plonky2 hash_or_noop semantics)."""
     indices = []
     rounds = []
     for _ in range(cfg.num_query_rounds):
@@ -159,11 +165,10 @@ def query_rounds(
         indices.append(idx)
         per_layer = []
         q = idx
-        for tree, evals in zip(trees, layer_evals):
-            m = evals.shape[0]
-            half = m // 2
+        for tree in trees:
+            half = tree.levels[0].shape[0]
             qi = q % half
-            leaf = [int(x) for x in np.concatenate([evals[qi], evals[qi + half]])]
+            leaf = [int(x) for x in tree.levels[0][qi]]
             path = [tuple(int(x) for x in d) for d in tree.prove(qi)]
             per_layer.append((leaf, path))
             q = qi

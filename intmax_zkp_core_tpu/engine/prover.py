@@ -36,10 +36,14 @@ CHUNK = 7
 
 # constraints per jitted quotient chunk: bounds the size of any single
 # device compile (one monolithic quotient graph for a many-constraint gate
-# overwhelms remote compile services; see docs/perf_notes.md).  Overridable
+# overwhelms remote compile services; see docs/perf_notes.md).  128 gives
+# one kernel per gate type (poseidon: 123, u32_mul_add: 108) — each chunk's
+# trace evaluates the FULL gate and slices, so fewer chunks means ~6x less
+# per-process tracing/lowering; sized 24 only while kernels still baked
+# megabytes of literals (tables now ride in as arguments).  Overridable
 # via INTMAX_TPU_GATE_CHUNK for experiments — NOTE changing it invalidates
 # every cached chunk compile for the affected gates.
-GATE_QUOTIENT_CHUNK = int(os.environ.get("INTMAX_TPU_GATE_CHUNK", "24"))
+GATE_QUOTIENT_CHUNK = int(os.environ.get("INTMAX_TPU_GATE_CHUNK", "128"))
 
 # (gate_id, lo, hi, num_wires, n_const, C) -> (fn, jitted fn); module-level
 # so identical chunks are traced/compiled once across circuits in-process
@@ -142,17 +146,27 @@ def _combine_columns(lde_matrix: jnp.ndarray, pows_arr: jnp.ndarray) -> jnp.ndar
     return jnp.stack([acc0, acc1], axis=-1)  # [lde_n, 2]
 
 
-def _commit(matrix_np: np.ndarray, rate_bits: int, cap_height: int, from_coeffs: bool = False):
+def _commit(matrix, rate_bits: int, cap_height: int, from_coeffs: bool = False,
+            extras=()):
     """columns [S, n] (evaluations on the subgroup, or coefficients if
-    ``from_coeffs``) -> (coeffs, lde, tree)."""
+    ``from_coeffs``; numpy or device) ->
+    (coeffs_dev, lde_dev, lde_np, tree, extras_np).
+
+    One host transfer total: the LDE, the Merkle levels and any ``extras``
+    (device arrays the caller needs on host, e.g. the permutation wrap
+    check) come back in a single ``fetch_arrays`` readback.  Coefficients
+    stay device-resident — the openings/FRI stages consume them there."""
     if from_coeffs:
-        coeffs = jnp.asarray(matrix_np)
+        coeffs = jnp.asarray(matrix)
     else:
-        coeffs = nt.intt(jnp.asarray(matrix_np))
+        coeffs = nt.intt(jnp.asarray(matrix))
     lde = nt.coset_lde(coeffs, rate_bits)
-    leaves = jnp.transpose(lde)
-    tree = mk.build_merkle_tree(leaves, cap_height)
-    return np.asarray(coeffs), np.asarray(lde), tree
+    levels_dev = mk.build_merkle_levels(jnp.transpose(lde), cap_height)
+    fetched = mk.fetch_arrays(lde, *extras, *levels_dev)
+    lde_np = fetched[0]
+    extras_np = tuple(fetched[1 : 1 + len(extras)])
+    tree = mk.MerkleTree(levels=list(fetched[1 + len(extras) :]), cap_height=cap_height)
+    return coeffs, lde, lde_np, tree, extras_np
 
 
 def _cap_tuples(tree: mk.MerkleTree) -> list:
@@ -385,6 +399,10 @@ def get_circuit_kernels(pd):
             "id_vals": id_vals_c,
             "sigma": sigma_c,
             "use_jit": use_jit,
+            # device-resident per-circuit tables so each prove avoids
+            # re-uploading them (they are constant across proofs)
+            "cs_lde_dev": cs_lde_c,
+            "cs_coeffs_dev": jnp.asarray(pd.cs_coeffs),
         },
     }
     pd._kernels = kernels
@@ -493,7 +511,9 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     pd._pi_hash = pi_hash  # stashed for constraint evaluation
 
     # ---- 2. commit wires ----
-    wire_coeffs, wire_lde, wires_tree = _commit(wires, fri_cfg.rate_bits, fri_cfg.cap_height)
+    wire_coeffs_dev, wire_lde_dev, wire_lde, wires_tree, _ = _commit(
+        wires, fri_cfg.rate_bits, fri_cfg.cap_height
+    )
 
     challenger = Challenger()
     challenger.observe_hash(common.circuit_digest)
@@ -511,36 +531,35 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     z_cols_d, pp_cols_d, wraps = kernels["perm_columns"](
         jnp.asarray(wires[:R]), betas_arr, gammas_arr
     )
-    assert (np.asarray(wraps) == 1).all(), (
+    zs_pp_matrix_dev = jnp.concatenate(
+        [z_cols_d, pp_cols_d.reshape(cfg.num_challenges * (nch - 1), n)], axis=0
+    )
+    zspp_coeffs_dev, zspp_lde_dev, zspp_lde, zs_pp_tree, (wraps_np,) = _commit(
+        zs_pp_matrix_dev, fri_cfg.rate_bits, fri_cfg.cap_height, extras=(wraps,)
+    )
+    assert (wraps_np == 1).all(), (
         "permutation argument product != 1 (sigma inconsistent)"
     )
-    zs_pp_matrix = np.concatenate(
-        [np.asarray(z_cols_d), np.asarray(pp_cols_d).reshape(cfg.num_challenges * (nch - 1), n)],
-        axis=0,
-    )
-    zspp_coeffs, zspp_lde, zs_pp_tree = _commit(zs_pp_matrix, fri_cfg.rate_bits, fri_cfg.cap_height)
     challenger.observe_cap(_cap_tuples(zs_pp_tree))
     alphas = challenger.get_n_challenges(cfg.num_challenges)
 
     timer.phase("quotient")
     # ---- 4. quotient (one jitted kernel per circuit) ----
-    zs_lde_arr = jnp.asarray(zspp_lde[: cfg.num_challenges])
-    pps_lde_arr = jnp.asarray(
-        zspp_lde[cfg.num_challenges :].reshape(cfg.num_challenges, nch - 1, lde_n)
+    zs_lde_arr = zspp_lde_dev[: cfg.num_challenges]
+    pps_lde_arr = zspp_lde_dev[cfg.num_challenges :].reshape(
+        cfg.num_challenges, nch - 1, lde_n
     )
-    quotient_matrix = np.asarray(
-        kernels["quotient"](
-            jnp.asarray(wire_lde),
-            zs_lde_arr,
-            pps_lde_arr,
-            betas_arr,
-            gammas_arr,
-            jnp.asarray(np.array(alphas, dtype=np.uint64)),
-            jnp.asarray(np.array(pi_hash, dtype=np.uint64)),
-        )
+    quotient_matrix_dev = kernels["quotient"](
+        wire_lde_dev,
+        zs_lde_arr,
+        pps_lde_arr,
+        betas_arr,
+        gammas_arr,
+        jnp.asarray(np.array(alphas, dtype=np.uint64)),
+        jnp.asarray(np.array(pi_hash, dtype=np.uint64)),
     )
-    quot_coeffs, quot_lde, quotient_tree = _commit(
-        quotient_matrix, fri_cfg.rate_bits, fri_cfg.cap_height, from_coeffs=True
+    quot_coeffs_dev, quot_lde_dev, quot_lde, quotient_tree, _ = _commit(
+        quotient_matrix_dev, fri_cfg.rate_bits, fri_cfg.cap_height, from_coeffs=True
     )
     challenger.observe_cap(_cap_tuples(quotient_tree))
     zeta = challenger.get_extension_challenge()
@@ -552,15 +571,19 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     gzeta = (zeta[0] * g_n % P, zeta[1] * g_n % P)
     gzeta_arr = jnp.asarray(np.array(gzeta, dtype=np.uint64))
 
-    all_coeffs = np.concatenate([pd.cs_coeffs, wire_coeffs, zspp_coeffs, quot_coeffs], axis=0)
-    opens_zeta = np.asarray(_open_columns(jnp.asarray(all_coeffs), zeta_arr))
-    opens_gzeta_z = np.asarray(
-        _open_columns(jnp.asarray(zspp_coeffs[: cfg.num_challenges]), gzeta_arr)
+    intern = kernels["_internals"]
+    all_coeffs_dev = jnp.concatenate(
+        [intern["cs_coeffs_dev"], wire_coeffs_dev, zspp_coeffs_dev, quot_coeffs_dev],
+        axis=0,
+    )
+    opens_zeta, opens_gzeta_z = mk.fetch_arrays(
+        _open_columns(all_coeffs_dev, zeta_arr),
+        _open_columns(zspp_coeffs_dev[: cfg.num_challenges], gzeta_arr),
     )
 
     n_cs = pd.cs_coeffs.shape[0]
     n_w = cfg.num_wires
-    n_zpp = zspp_coeffs.shape[0]
+    n_zpp = zspp_coeffs_dev.shape[0]
     openings = {
         "constants_sigmas": [tuple(int(x) for x in o) for o in opens_zeta[:n_cs]],
         "wires": [tuple(int(x) for x in o) for o in opens_zeta[n_cs : n_cs + n_w]],
@@ -577,16 +600,19 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     alpha_fri = challenger.get_extension_challenge()
     alpha_arr = jnp.asarray(np.array(alpha_fri, dtype=np.uint64))
 
-    # combine batch-1 columns (everything opened at zeta)
-    batch1_lde = np.concatenate([pd.cs_lde, wire_lde, zspp_lde, quot_lde], axis=0)
-    m1 = batch1_lde.shape[0]
+    # combine batch-1 columns (everything opened at zeta); LDEs are already
+    # device-resident from _commit, constants ride on the per-circuit cache
+    batch1_lde_dev = jnp.concatenate(
+        [intern["cs_lde_dev"], wire_lde_dev, zspp_lde_dev, quot_lde_dev], axis=0
+    )
+    m1 = batch1_lde_dev.shape[0]
     alpha_pows = []
     apow = (1, 0)
     for _ in range(m1 + cfg.num_challenges):
         alpha_pows.append(apow)
         apow = ext_mul(apow, alpha_fri)
 
-    comb1 = _combine_columns(jnp.asarray(batch1_lde), jnp.asarray(np.array(alpha_pows[:m1], dtype=np.uint64)))
+    comb1 = _combine_columns(batch1_lde_dev, jnp.asarray(np.array(alpha_pows[:m1], dtype=np.uint64)))
     comb1_at_zeta = (0, 0)
     flat_opens = (
         openings["constants_sigmas"] + openings["wires"] + openings["zs_pp"] + openings["quotient"]
@@ -595,23 +621,16 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
         comb1_at_zeta = ext_add(comb1_at_zeta, ext_mul(alpha_pows[i], y))
 
     comb2 = _combine_columns(
-        jnp.asarray(zspp_lde[: cfg.num_challenges]),
+        zspp_lde_dev[: cfg.num_challenges],
         jnp.asarray(np.array(alpha_pows[m1 : m1 + cfg.num_challenges], dtype=np.uint64)),
     )
     comb2_at_gzeta = (0, 0)
     for j, y in enumerate(openings["zs_next"]):
         comb2_at_gzeta = ext_add(comb2_at_gzeta, ext_mul(alpha_pows[m1 + j], y))
 
-    # domain points
-    log_lde = lde_n.bit_length() - 1
-    w_lde = gl.primitive_root_of_unity(log_lde)
-    xs = np.empty(lde_n, dtype=np.uint64)
-    acc = gl.MULTIPLICATIVE_GROUP_GENERATOR % P
-    for i in range(lde_n):
-        xs[i] = acc
-        acc = acc * w_lde % P
+    # domain points (cached device coset table from get_circuit_kernels)
     xs_ext = jnp.stack(
-        [jnp.asarray(xs), jnp.zeros(lde_n, dtype=jnp.uint64)], axis=-1
+        [intern["xs"], jnp.zeros(lde_n, dtype=jnp.uint64)], axis=-1
     )
 
     def sub_const_ext(arr, cst):
@@ -625,11 +644,11 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     num2 = sub_const_ext(comb2, comb2_at_gzeta)
     G = gl.ext_add(gl.ext_mul(num1, denom1), gl.ext_mul(num2, denom2))
 
-    trees, layer_evals, final_poly, fri_betas = fold_layers(
+    trees, final_poly, fri_betas = fold_layers(
         G, gl.MULTIPLICATIVE_GROUP_GENERATOR, fri_cfg, challenger
     )
     pow_witness = grind_pow(challenger, fri_cfg.proof_of_work_bits)
-    indices, rounds = query_rounds(trees, layer_evals, fri_cfg, challenger, lde_n)
+    indices, rounds = query_rounds(trees, fri_cfg, challenger, lde_n)
 
     # initial-tree openings per query
     initial_openings = []

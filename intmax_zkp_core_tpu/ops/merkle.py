@@ -16,9 +16,32 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import poseidon as ps
+
+
+def fetch_arrays(*arrs) -> list:
+    """Device -> host transfer of several arrays in ONE readback.
+
+    Through a remote/tunneled backend every ``np.asarray(device_array)`` is
+    a blocking round-trip, so fetching a Merkle tree level-by-level costs
+    O(log n) RTTs.  Here all arrays are raveled and concatenated on device
+    and read back with a single transfer, then split/reshaped on host.  On
+    the CPU backend transfers are free, so the concat copy is skipped.
+    """
+    if jax.default_backend() == "cpu" or len(arrs) == 1:
+        return [np.asarray(a) for a in arrs]
+    flat = jnp.concatenate([jnp.ravel(a) for a in arrs])
+    flat_np = np.asarray(flat)
+    out = []
+    off = 0
+    for a in arrs:
+        size = int(np.prod(a.shape)) if a.ndim else 1
+        out.append(flat_np[off : off + size].reshape(a.shape))
+        off += size
+    return out
 
 
 @dataclass
@@ -55,14 +78,11 @@ def hash_leaves(leaf_data: jnp.ndarray) -> jnp.ndarray:
     return ps.hash_no_pad(leaf_data)
 
 
-def build_merkle_tree(leaf_data, cap_height: int) -> MerkleTree:
-    """leaf_data: [n, leaf_width] uint64 (n a power of two >= 2^cap_height).
-
-    Levels stay device-resident until the final host transfer; every
-    permutation inside runs through the per-shape jitted permutation kernel
-    (see ``poseidon._permute_dispatch`` for why the jit boundary is the
-    single permutation and not the whole tree).
-    """
+def build_merkle_levels(leaf_data, cap_height: int) -> list:
+    """Device-resident tree levels (levels[0] = leaf digests, levels[-1] =
+    cap); every permutation runs through the per-shape jitted permutation
+    kernel (see ``poseidon._permute_dispatch`` for why the jit boundary is
+    the single permutation and not the whole tree)."""
     leaf_data = jnp.asarray(leaf_data, dtype=jnp.uint64)
     n = leaf_data.shape[0]
     assert n & (n - 1) == 0, "leaf count must be a power of two"
@@ -71,16 +91,22 @@ def build_merkle_tree(leaf_data, cap_height: int) -> MerkleTree:
     while levels_dev[-1].shape[0] > 1 << cap_height:
         cur = levels_dev[-1]
         levels_dev.append(ps.two_to_one(cur[0::2], cur[1::2]))
-    levels = [np.asarray(lv) for lv in levels_dev]
-    return MerkleTree(levels=levels, cap_height=cap_height)
+    return levels_dev
 
 
-def build_merkle_trees_batch(leaf_data, cap_height: int) -> list:
-    """K independent same-shape trees in one pass: leaf_data [K, m, w].
+def build_merkle_tree(leaf_data, cap_height: int) -> MerkleTree:
+    """leaf_data: [n, leaf_width] uint64 (n a power of two >= 2^cap_height).
 
-    Every level hashes ALL K trees' nodes in one ``two_to_one`` dispatch
-    (the batch axis folds into the row axis), so the device cost of K
-    trees is one tree's dispatch count.  Returns K ``MerkleTree``s."""
+    All levels come back to host in one transfer (``fetch_arrays``)."""
+    levels_dev = build_merkle_levels(leaf_data, cap_height)
+    return MerkleTree(levels=fetch_arrays(*levels_dev), cap_height=cap_height)
+
+
+def build_merkle_levels_batch(leaf_data, cap_height: int) -> list:
+    """Device-resident levels of K same-shape trees: leaf_data [K, m, w] ->
+    list of [K, m_i, 4] arrays.  Every level hashes ALL K trees' nodes in
+    one ``two_to_one`` dispatch (the batch axis folds into the row axis),
+    so the device cost of K trees is one tree's dispatch count."""
     leaf_data = jnp.asarray(leaf_data, dtype=jnp.uint64)
     K, m, w = leaf_data.shape
     assert m & (m - 1) == 0, "leaf count must be a power of two"
@@ -94,11 +120,23 @@ def build_merkle_trees_batch(leaf_data, cap_height: int) -> list:
             cur[:, 0::2].reshape(K * half, 4), cur[:, 1::2].reshape(K * half, 4)
         ).reshape(K, half, 4)
         levels_dev.append(nxt)
-    levels_np = [np.asarray(lv) for lv in levels_dev]
+    return levels_dev
+
+
+def trees_from_batch_levels(levels_np: list, cap_height: int) -> list:
+    """Host [K, m_i, 4] level arrays -> K ``MerkleTree``s."""
+    K = levels_np[0].shape[0]
     return [
         MerkleTree(levels=[lv[k] for lv in levels_np], cap_height=cap_height)
         for k in range(K)
     ]
+
+
+def build_merkle_trees_batch(leaf_data, cap_height: int) -> list:
+    """K independent same-shape trees in one pass (one host transfer):
+    leaf_data [K, m, w].  Returns K ``MerkleTree``s."""
+    levels_dev = build_merkle_levels_batch(leaf_data, cap_height)
+    return trees_from_batch_levels(fetch_arrays(*levels_dev), cap_height)
 
 
 def verify_merkle_proof(
