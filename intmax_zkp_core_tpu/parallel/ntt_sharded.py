@@ -22,7 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 top-level API; experimental path is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import goldilocks as gl
 from ..ops import ntt as nt
@@ -80,7 +83,7 @@ def ntt_sharded(x: jax.Array, mesh: Mesh, axis_name: str = "d") -> jax.Array:
         mesh=mesh,
         in_specs=(PSpec(None, axis_name), PSpec(None, axis_name)),
         out_specs=PSpec(axis_name),
-        check_rep=False,
+        check_vma=False,
     )
     xm = x.reshape(n1, n2)
     return fn(xm, tw)

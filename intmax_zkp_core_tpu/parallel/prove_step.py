@@ -17,7 +17,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 top-level API; experimental path is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import goldilocks as gl
 from ..ops import ntt as nt
@@ -51,7 +54,7 @@ def make_distributed_prove_step(mesh: Mesh, axis_name: str = "d"):
         mesh=mesh,
         in_specs=(PSpec(axis_name, None),),
         out_specs=(PSpec(axis_name, None), PSpec()),
-        check_rep=False,
+        check_vma=False,
     )
 
     def step(states, poly):
