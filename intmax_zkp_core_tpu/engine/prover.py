@@ -342,8 +342,13 @@ def get_circuit_kernels(pd):
         return jnp.concatenate(out_chunks, axis=0)
 
     # jit the pieces on accelerators; on CPU the XLA compile cost outweighs
-    # eager dispatch for typical circuit sizes
-    use_jit = jax.default_backend() != "cpu"
+    # eager dispatch for one-off proofs, but repeated same-circuit proving
+    # amortizes it (steady-state CPU quotient is ~90% of prove time,
+    # docs/perf_notes.md) — INTMAX_TPU_FORCE_JIT=1 opts in
+    use_jit = (
+        jax.default_backend() != "cpu"
+        or os.environ.get("INTMAX_TPU_FORCE_JIT") == "1"
+    )
 
     def _wrap(f):
         return jax.jit(f) if use_jit else f
