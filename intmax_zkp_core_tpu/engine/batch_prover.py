@@ -9,6 +9,15 @@ transcript.  The resulting proofs are bit-identical to running
 unchanged.  The reference's only parallelism is rayon threads inside one
 proof (``Cargo.toml:16,20``); batching across proofs is the TPU-native
 axis that replaces it.
+
+Multi-chip: pass ``mesh`` (a 1-axis ``jax.sharding.Mesh``) and the proof
+axis is sharded over its devices — every ``[K, ...]`` device array gets a
+``NamedSharding`` on the leading axis and the vmapped kernels run jitted,
+so XLA's SPMD partitioner executes K/D proofs per device with no
+collectives on the hot path (the axis is embarrassingly parallel; only
+the host readbacks gather).  Because all kernels are exact modular
+integer arithmetic, the distributed proofs are bit-identical to
+single-device ones (asserted by ``tests/test_parallel.py``).
 """
 
 from __future__ import annotations
@@ -92,9 +101,20 @@ def _commit_batch(matrices, rate_bits: int, cap_height: int,
     return coeffs.reshape(K, S, n), lde_k, lde_np, trees, extras_np
 
 
-def prove_batch(circuit_data: CircuitData, pws: list) -> list:
+def prove_batch(
+    circuit_data: CircuitData,
+    pws: list,
+    mesh=None,
+    axis_name: str = "d",
+) -> list:
     """Prove K witnesses of one circuit; returns K proofs bit-identical to
-    sequential ``prove`` calls."""
+    sequential ``prove`` calls.
+
+    ``mesh``: optional 1-axis device mesh.  The proof axis is sharded over
+    ``mesh`` (padded to a multiple of the device count by repeating the
+    last witness's wires; padding lanes are dropped from the result), and
+    the vmapped kernels run jitted so the SPMD partitioner splits the K
+    proofs across devices."""
     pd = circuit_data.prover
     common = pd.common
     cfg = common.config
@@ -104,11 +124,27 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
     R = cfg.num_routed_wires
     C = cfg.num_challenges
     nch = n_chunks(R)
-    K = len(pws)
-    assert K >= 1
+    K_real = len(pws)
+    assert K_real >= 1
     kernels = get_circuit_kernels(pd)
     intern = kernels["_internals"]
-    use_jit = intern["use_jit"]
+    use_jit = intern["use_jit"] or mesh is not None
+
+    if mesh is not None:
+        d = mesh.shape[axis_name]
+        K = ((K_real + d - 1) // d) * d
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def put(arr):
+            a = jnp.asarray(arr)
+            spec = PartitionSpec(axis_name, *([None] * (a.ndim - 1)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+    else:
+        K = K_real
+
+        def put(arr):
+            return jnp.asarray(arr)
 
     # ---- 1. witness fill (host, per proof) ----
     wires_all = np.empty((K, cfg.num_wires, n), dtype=np.uint64)
@@ -119,10 +155,15 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
         wires_all[k] = wires
         public_inputs_all.append(public_inputs)
         pi_hashes.append(ps.hash_no_pad_s(public_inputs))
+    for k in range(K_real, K):  # mesh padding: repeat the last proof
+        wires_all[k] = wires_all[K_real - 1]
+        public_inputs_all.append(public_inputs_all[K_real - 1])
+        pi_hashes.append(pi_hashes[K_real - 1])
 
     # ---- 2. commit wires ----
+    wires_dev = put(wires_all)
     wire_coeffs_dev, wire_lde_dev, wire_lde, wires_trees, _ = _commit_batch(
-        wires_all, fri_cfg.rate_bits, fri_cfg.cap_height
+        wires_dev, fri_cfg.rate_bits, fri_cfg.cap_height
     )
 
     challengers = [Challenger() for _ in range(K)]
@@ -139,10 +180,12 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
     perm_batch = _vmapped(
         "perm_columns", intern["perm_columns_impl"], (0, 0, 0, None, None), use_jit
     )
+    betas_dev = put(betas)
+    gammas_dev = put(gammas)
     z_cols_d, pp_cols_d, wraps = perm_batch(
-        jnp.asarray(wires_all[:, :R]),
-        jnp.asarray(betas),
-        jnp.asarray(gammas),
+        wires_dev[:, :R],
+        betas_dev,
+        gammas_dev,
         intern["id_vals"],
         intern["sigma"],
     )
@@ -164,8 +207,8 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
     wires_lde_arr = wire_lde_dev
     zs_lde_arr = zspp_lde_dev[:, :C]
     pps_lde_arr = zspp_lde_dev[:, C:].reshape(K, C, nch - 1, lde_n)
-    alphas_arr = jnp.asarray(alphas)
-    pi_arr = jnp.asarray(np.array(pi_hashes, dtype=np.uint64))
+    alphas_arr = put(alphas)
+    pi_arr = put(np.array(pi_hashes, dtype=np.uint64))
 
     pqp_batch = _vmapped(
         "perm_quotient",
@@ -177,8 +220,8 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
         wires_lde_arr,
         zs_lde_arr,
         pps_lde_arr,
-        jnp.asarray(betas),
-        jnp.asarray(gammas),
+        betas_dev,
+        gammas_dev,
         alphas_arr,
         intern["sigma_lde"],
         intern["xs"],
@@ -214,15 +257,15 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
     g_n = gl.primitive_root_of_unity(n.bit_length() - 1)
     gzetas = [(z[0] * g_n % P, z[1] * g_n % P) for z in zetas]
     cs_coeffs_dev = intern["cs_coeffs_dev"]
-    cs_coeffs_b = jnp.broadcast_to(
-        cs_coeffs_dev[None], (K,) + cs_coeffs_dev.shape
+    cs_coeffs_b = put(
+        jnp.broadcast_to(cs_coeffs_dev[None], (K,) + cs_coeffs_dev.shape)
     )
     all_coeffs_dev = jnp.concatenate(
         [cs_coeffs_b, wire_coeffs_dev, zspp_coeffs_dev, quot_coeffs_dev], axis=1
     )
     open_batch = _vmapped("open", _open_columns, (0, 0), use_jit)
-    zetas_arr = jnp.asarray(np.array(zetas, dtype=np.uint64))
-    gzetas_arr = jnp.asarray(np.array(gzetas, dtype=np.uint64))
+    zetas_arr = put(np.array(zetas, dtype=np.uint64))
+    gzetas_arr = put(np.array(gzetas, dtype=np.uint64))
     opens_zeta, opens_gzeta_z = mk.fetch_arrays(
         open_batch(all_coeffs_dev, zetas_arr),
         open_batch(zspp_coeffs_dev[:, :C], gzetas_arr),
@@ -251,7 +294,7 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
     # ---- 6. FRI ----
     alpha_fris = [ch.get_extension_challenge() for ch in challengers]
     cs_lde_dev = intern["cs_lde_dev"]
-    cs_lde_b = jnp.broadcast_to(cs_lde_dev[None], (K,) + cs_lde_dev.shape)
+    cs_lde_b = put(jnp.broadcast_to(cs_lde_dev[None], (K,) + cs_lde_dev.shape))
     batch1_lde_dev = jnp.concatenate(
         [cs_lde_b, wire_lde_dev, zspp_lde_dev, quot_lde_dev], axis=1
     )
@@ -265,11 +308,9 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
             apow = ext_mul(apow, alpha_fris[k])
 
     combine_batch = _vmapped("combine", _combine_columns, (0, 0), use_jit)
-    comb1 = combine_batch(
-        batch1_lde_dev, jnp.asarray(alpha_pows_all[:, :m1])
-    )
+    comb1 = combine_batch(batch1_lde_dev, put(alpha_pows_all[:, :m1]))
     comb2 = combine_batch(
-        zspp_lde_dev[:, :C], jnp.asarray(alpha_pows_all[:, m1 : m1 + C])
+        zspp_lde_dev[:, :C], put(alpha_pows_all[:, m1 : m1 + C])
     )
 
     comb1_at = np.empty((K, 2), dtype=np.uint64)
@@ -302,8 +343,8 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
         xs_ext,
         zetas_arr,
         gzetas_arr,
-        jnp.asarray(comb1_at),
-        jnp.asarray(comb2_at),
+        put(comb1_at),
+        put(comb2_at),
     )
 
     # fold all K proofs in lockstep (per-proof transcripts drive the betas).
@@ -326,7 +367,7 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
             ch.observe_cap(_cap_tuples(layer_trees[k]))
             layer_betas[k] = ch.get_extension_challenge()
         inv2x = jnp.asarray(_inv_2x_table(m.bit_length() - 1, cur_shift))
-        cur = fold_batch(cur, inv2x, jnp.asarray(layer_betas))
+        cur = fold_batch(cur, inv2x, put(layer_betas))
         cur_shift = cur_shift * cur_shift % P
 
     # final polynomial per proof: both extension components for all K
@@ -377,4 +418,4 @@ def prove_batch(circuit_data: CircuitData, pws: list) -> list:
                 public_inputs=[int(v) for v in public_inputs_all[k]],
             )
         )
-    return proofs
+    return proofs[:K_real]

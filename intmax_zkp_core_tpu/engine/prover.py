@@ -146,6 +146,14 @@ def _combine_columns(lde_matrix: jnp.ndarray, pows_arr: jnp.ndarray) -> jnp.ndar
     return jnp.stack([acc0, acc1], axis=-1)  # [lde_n, 2]
 
 
+# LDEs at least this long go through the sharded four-step NTT when a
+# commit mesh is active (parallel.mesh.use_commit_mesh); below it the
+# all-to-all overhead outweighs the split.
+SHARD_COMMIT_MIN_LDE = int(
+    os.environ.get("INTMAX_TPU_SHARD_COMMIT_MIN_LDE", str(1 << 17))
+)
+
+
 def _commit(matrix, rate_bits: int, cap_height: int, from_coeffs: bool = False,
             extras=()):
     """columns [S, n] (evaluations on the subgroup, or coefficients if
@@ -155,18 +163,40 @@ def _commit(matrix, rate_bits: int, cap_height: int, from_coeffs: bool = False,
     One host transfer total: the LDE, the Merkle levels and any ``extras``
     (device arrays the caller needs on host, e.g. the permutation wrap
     check) come back in a single ``fetch_arrays`` readback.  Coefficients
-    stay device-resident — the openings/FRI stages consume them there."""
+    stay device-resident — the openings/FRI stages consume them there.
+
+    Inside a ``parallel.mesh.use_commit_mesh`` context, LDEs of at least
+    ``SHARD_COMMIT_MIN_LDE`` points are computed with the four-step
+    all-to-all NTT sharded over the mesh (SURVEY §2.3 intra-op axis) —
+    bit-identical to the single-device kernel."""
     if from_coeffs:
         coeffs = jnp.asarray(matrix)
     else:
         coeffs = nt.intt(jnp.asarray(matrix))
-    lde = nt.coset_lde(coeffs, rate_bits)
+    lde = _coset_lde_maybe_sharded(coeffs, rate_bits)
     levels_dev = mk.build_merkle_levels(jnp.transpose(lde), cap_height)
     fetched = mk.fetch_arrays(lde, *extras, *levels_dev)
     lde_np = fetched[0]
     extras_np = tuple(fetched[1 : 1 + len(extras)])
     tree = mk.MerkleTree(levels=list(fetched[1 + len(extras) :]), cap_height=cap_height)
     return coeffs, lde, lde_np, tree, extras_np
+
+
+def _coset_lde_maybe_sharded(coeffs, rate_bits: int):
+    """Route the LDE through the mesh-sharded four-step NTT when a commit
+    mesh is active and the size warrants it; single-device otherwise."""
+    from ..parallel.mesh import commit_mesh
+
+    mesh, axis_name = commit_mesh()
+    lde_n = coeffs.shape[-1] << rate_bits
+    if mesh is not None and lde_n >= SHARD_COMMIT_MIN_LDE:
+        from ..parallel.ntt_sharded import can_shard, coset_lde_sharded
+
+        if can_shard(lde_n, mesh.shape[axis_name]):
+            flat = coeffs.reshape(-1, coeffs.shape[-1])
+            out = coset_lde_sharded(flat, rate_bits, mesh, axis_name=axis_name)
+            return out.reshape(coeffs.shape[:-1] + (lde_n,))
+    return nt.coset_lde(coeffs, rate_bits)
 
 
 def _cap_tuples(tree: mk.MerkleTree) -> list:

@@ -48,6 +48,75 @@ def _twiddle_matrix(log_n1: int, log_n2: int):
     return out
 
 
+def can_shard(n: int, d: int) -> bool:
+    """True if a length-n NTT four-step-decomposes with both factors
+    divisible by the device count (n1 = 2^(log n//2))."""
+    if n & (n - 1) or n <= 0:
+        return False
+    log_n = n.bit_length() - 1
+    n1 = 1 << (log_n // 2)
+    n2 = n // n1
+    return n1 % d == 0 and n2 % d == 0
+
+
+def ntt_sharded_batch(x: jax.Array, mesh: Mesh, axis_name: str = "d") -> jax.Array:
+    """Batched four-step NTT: ``[B, n]`` coefficient rows -> evaluations in
+    natural order, sharded over the mesh on the domain axis.  The domain is
+    viewed as an ``[n1, n2]`` matrix sharded over columns; column NTTs are
+    local, one all-to-all re-shards to rows for the row NTTs, a second
+    all-to-all transposes back.  Bit-identical to ``ops.ntt.ntt`` (exact
+    modular arithmetic, canonical residues)."""
+    B, n = x.shape
+    d = mesh.shape[axis_name]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    log_n1 = log_n // 2
+    n1 = 1 << log_n1
+    n2 = n // n1
+    assert n1 % d == 0 and n2 % d == 0, "n1 and n2 must be divisible by device count"
+
+    tw = jnp.asarray(_twiddle_matrix(log_n1, log_n - log_n1))
+
+    def local_fn(xm, twm):
+        # xm: [B, n1, n2/d] — this device's column slice
+        a = jnp.transpose(nt.ntt(jnp.transpose(xm, (0, 2, 1))), (0, 2, 1))
+        b = gl.mul(a, twm[None])
+        b = jax.lax.all_to_all(b, axis_name, split_axis=1, concat_axis=2, tiled=True)
+        c = nt.ntt(b)  # row NTTs on [B, n1/d, n2]
+        c = jax.lax.all_to_all(c, axis_name, split_axis=2, concat_axis=1, tiled=True)
+        # natural order k = k2*n1 + k1 within the local k2 slice
+        return jnp.transpose(c, (0, 2, 1)).reshape(B, -1)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(PSpec(None, None, axis_name), PSpec(None, axis_name)),
+        out_specs=PSpec(None, axis_name),
+        check_vma=False,
+    )
+    return fn(x.reshape(B, n1, n2), tw)
+
+
+def coset_lde_sharded(
+    a: jax.Array,
+    rate_bits: int,
+    mesh: Mesh,
+    shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR,
+    axis_name: str = "d",
+) -> jax.Array:
+    """Sharded counterpart of ``ops.ntt.coset_lde``: ``[B, n]`` coefficient
+    rows -> evaluations on the shifted 2^rate_bits-blowup coset, computed
+    with the four-step all-to-all NTT so one huge LDE spreads across the
+    mesh (the prover's ``_commit`` uses this above a size threshold)."""
+    B, n = a.shape
+    lde_n = n << rate_bits
+    powers = jnp.asarray(nt._shift_powers(n, shift % P))
+    shifted = gl.mul(a, powers)
+    padded = jnp.zeros((B, lde_n), dtype=jnp.uint64)
+    padded = padded.at[:, :n].set(shifted)
+    return ntt_sharded_batch(padded, mesh, axis_name)
+
+
 def ntt_sharded(x: jax.Array, mesh: Mesh, axis_name: str = "d") -> jax.Array:
     """Single-polynomial NTT of length n = n1*n2 over an n-device-sharded
     domain; returns evaluations in natural order, sharded over the mesh."""

@@ -1,6 +1,10 @@
 """Multi-device tests on the virtual 8-device CPU mesh: sharded NTT
-bit-exactness vs the single-device kernel, and the distributed prove step
-(data-parallel hashing + all-to-all NTT + collective Merkle reduction)."""
+bit-exactness vs the single-device kernel, the distributed prove step
+(data-parallel hashing + all-to-all NTT + collective Merkle reduction),
+and the DISTRIBUTED PROVER — ``prove_batch(mesh=...)`` sharding the proof
+axis over all 8 devices must emit proofs bit-identical to single-device
+``prove`` (SURVEY §2.3 proof-level axis; reference
+``rollup/circuits/mod.rs:450-489`` generates these proofs serially)."""
 
 import numpy as np
 
@@ -58,3 +62,80 @@ def test_distributed_prove_step():
 
     per_dev = [local_root(hs[i * (B // 8) : (i + 1) * (B // 8)]) for i in range(8)]
     assert tuple(int(x) for x in np.asarray(root)) == local_root(per_dev)
+
+
+def test_coset_lde_sharded_matches_single_device():
+    """Batched four-step coset LDE over the mesh == the single-device
+    kernel, bit for bit."""
+    from intmax_zkp_core_tpu.parallel.ntt_sharded import (
+        can_shard,
+        coset_lde_sharded,
+        ntt_sharded_batch,
+    )
+
+    mesh = make_mesh(8)
+    for B, log_n, rate_bits in [(3, 9, 3), (5, 10, 2)]:
+        n = 1 << log_n
+        assert can_shard(n << rate_bits, 8)
+        a = jnp.asarray(RNG.integers(0, P, size=(B, n), dtype=np.uint64))
+        want = np.asarray(nt.coset_lde(a, rate_bits))
+        got = np.asarray(coset_lde_sharded(a, rate_bits, mesh))
+        assert (got == want).all(), (B, log_n, rate_bits)
+        evals = np.asarray(ntt_sharded_batch(a, mesh))
+        assert (evals == np.asarray(nt.ntt(a))).all()
+
+
+def test_sharded_commit_prove_bitwise_identical(monkeypatch):
+    """A full single-proof ``prove`` whose commitments run the mesh-sharded
+    LDE (``use_commit_mesh`` + forced-low size threshold) emits a proof
+    bit-identical to the plain single-device prover."""
+    from intmax_zkp_core_tpu.engine import prover as prover_mod
+    from intmax_zkp_core_tpu.engine.config import CircuitConfig, FriConfig
+    from intmax_zkp_core_tpu.engine.witness import PartialWitness
+    from intmax_zkp_core_tpu.models.zkdsa.circuits import (
+        make_simple_signature_circuit,
+    )
+    from intmax_zkp_core_tpu.parallel.mesh import use_commit_mesh
+    from intmax_zkp_core_tpu.utils.hash_out import HashOut
+
+    circ = make_simple_signature_circuit(
+        CircuitConfig(fri=FriConfig(num_query_rounds=3, proof_of_work_bits=2))
+    )
+    pw = PartialWitness()
+    circ.targets.set_witness(pw, HashOut.from_u64(77), HashOut.from_u64(3))
+    plain = circ.data.prove(pw)
+
+    monkeypatch.setattr(prover_mod, "SHARD_COMMIT_MIN_LDE", 1)
+    mesh = make_mesh(8)
+    with use_commit_mesh(mesh):
+        sharded = circ.data.prove(pw)
+    assert sharded == plain
+    circ.data.verify(sharded)
+
+
+def test_distributed_prove_batch_bitwise_identical():
+    """K=5 real zkDSA proofs sharded over the 8-device mesh (pads to 8,
+    one proof per device) are bit-identical to single-device ``prove`` and
+    verify — the multi-chip prover path the driver's dryrun exercises."""
+    from intmax_zkp_core_tpu.engine.batch_prover import prove_batch
+    from intmax_zkp_core_tpu.engine.config import CircuitConfig, FriConfig
+    from intmax_zkp_core_tpu.engine.witness import PartialWitness
+    from intmax_zkp_core_tpu.models.zkdsa.circuits import (
+        make_simple_signature_circuit,
+    )
+    from intmax_zkp_core_tpu.utils.hash_out import HashOut
+
+    mesh = make_mesh(8)
+    circ = make_simple_signature_circuit(
+        CircuitConfig(fri=FriConfig(num_query_rounds=3, proof_of_work_bits=2))
+    )
+    pws = []
+    for i in range(5):
+        pw = PartialWitness()
+        circ.targets.set_witness(pw, HashOut.from_u64(41 + i), HashOut.from_u64(5 + i))
+        pws.append(pw)
+    mesh_proofs = prove_batch(circ.data, pws, mesh=mesh)
+    assert len(mesh_proofs) == 5
+    for pw, mp in zip(pws, mesh_proofs):
+        assert mp == circ.data.prove(pw)
+        circ.data.verify(mp)
