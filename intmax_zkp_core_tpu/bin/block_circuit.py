@@ -3,7 +3,13 @@
 deposit merge), a signature, the block-production circuit, writes the
 golden vector ``test_cases/block1_info.json`` and proves a batch.
 
-Usage: python -m intmax_zkp_core_tpu.bin.block_circuit [--check-only]
+Like the reference, the block circuit verifies the inner user-tx and
+signature proofs IN-CIRCUIT (``rollup/circuits/mod.rs:450-489``).
+``--fast`` switches to the trusted-aggregation mode (inner proofs checked
+by the host verifier at witness time — a weaker object, but a much
+smaller block circuit).
+
+Usage: python -m intmax_zkp_core_tpu.bin.block_circuit [--check-only] [--fast]
 """
 
 from __future__ import annotations
@@ -14,12 +20,12 @@ import sys
 import time
 
 
-def main(prove: bool = True) -> None:
+def main(prove: bool = True, recursive: bool = True) -> None:
     from ..models.rollup.block_flow import run_block_flow
     from ..models.rollup.block import BlockInfo
 
     t0 = time.time()
-    res = run_block_flow(prove=prove)
+    res = run_block_flow(prove=prove, recursive=recursive)
     print(f"block flow completed in {time.time() - t0:.1f}s", flush=True)
 
     encoded = json.dumps(res.block_info.to_json(), indent=1)
@@ -52,4 +58,7 @@ def main(prove: bool = True) -> None:
 
 
 if __name__ == "__main__":
-    main(prove="--check-only" not in sys.argv)
+    main(
+        prove="--check-only" not in sys.argv,
+        recursive="--fast" not in sys.argv,
+    )

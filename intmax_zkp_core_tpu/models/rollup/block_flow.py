@@ -79,11 +79,12 @@ def run_block_flow(
     constants: RollupConstants | None = None,
     config: CircuitConfig | None = None,
     prove: bool = True,
-    recursive: bool = False,
+    recursive: bool = True,
 ):
-    """``recursive=True`` verifies the user-tx/signature proofs in-circuit
-    (full reference parity, much larger block circuit); ``False`` uses the
-    trusted-aggregation mode (host-verified inner proofs)."""
+    """``recursive=True`` (default, reference parity —
+    ``rollup/circuits/mod.rs:450-489``) verifies the user-tx/signature
+    proofs in-circuit; ``False`` uses the trusted-aggregation mode
+    (host-verified inner proofs — weaker object, much smaller circuit)."""
     constants = constants or RollupConstants.test_constants()
     config = config or CircuitConfig.standard_recursion_config()
 

@@ -55,11 +55,19 @@ def test_merkle_proof_gadget_matches_tree(proof_circuit):
 
 
 def test_merkle_proof_index_overflow_raises():
-    """Out-of-range index is rejected (mirrors the reference's should_panic
-    overflow test, ``merkle_tree/tree.rs:130-196``)."""
+    """Out-of-range index is rejected."""
     ls = leaves(5)
     with pytest.raises(AssertionError):
         get_merkle_proof_with_zero(ls, 11, DEPTH, HashOut.ZERO)
+
+
+def test_merkle_proof_depth_overflow_raises():
+    """More leaves than the depth can hold is rejected (mirrors the
+    reference's should_panic overflow test, ``merkle_tree/tree.rs:130-196``:
+    6 leaves in a depth-2 tree trip the ``len(nodes) <= 1 << depth``
+    assertion)."""
+    with pytest.raises(AssertionError):
+        get_merkle_proof_with_zero(leaves(6), 5, 2, HashOut.ZERO)
 
 
 def test_merkle_root_from_leaves_matches_tree():
