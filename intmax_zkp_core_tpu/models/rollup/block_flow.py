@@ -53,11 +53,19 @@ class BlockFlowResult:
 def _prove_group(circuit, pws: list, prove: bool) -> list:
     """Prove several witnesses of one circuit: batched in one device pass
     on accelerators (engine/batch_prover — bit-identical to sequential),
-    sequential on CPU where vmap-eager dispatch is slower."""
+    sharded over the device mesh when more than one device is attached
+    (SURVEY §2.3 proof-level axis), sequential on single-device CPU where
+    vmap-eager dispatch is slower."""
     if not prove:
         return [_prove_or_check(circuit, pw, prove) for pw in pws]
     import jax
 
+    n_dev = len(jax.devices())
+    if n_dev > 1 and len(pws) > 1:
+        from ...engine.batch_prover import prove_batch
+        from ...parallel.mesh import make_mesh
+
+        return prove_batch(circuit.data, pws, mesh=make_mesh(n_dev))
     if jax.default_backend() != "cpu" and len(pws) > 1:
         from ...engine.batch_prover import prove_batch
 

@@ -36,7 +36,8 @@ def prove_many(circuit, set_witness_fns: list) -> list:
     """
     import jax
 
-    if jax.default_backend() != "cpu" and len(set_witness_fns) > 1:
+    n_dev = len(jax.devices())
+    if len(set_witness_fns) > 1 and (jax.default_backend() != "cpu" or n_dev > 1):
         from ..engine.batch_prover import prove_batch
 
         pws = []
@@ -44,6 +45,10 @@ def prove_many(circuit, set_witness_fns: list) -> list:
             pw = PartialWitness()
             fn(pw)
             pws.append(pw)
+        if n_dev > 1:
+            from .mesh import make_mesh
+
+            return prove_batch(circuit.data, pws, mesh=make_mesh(n_dev))
         return prove_batch(circuit.data, pws)
 
     results: list = [None] * len(set_witness_fns)
