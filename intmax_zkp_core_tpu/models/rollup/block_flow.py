@@ -11,6 +11,8 @@ instead of producing FRI proofs — the fast integration-test mode.
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 
 from ...config import LOG_MAX_N_BLOCKS, RollupConstants
@@ -83,6 +85,25 @@ def _pis_of(proof):
     return proof.public_inputs
 
 
+class _StageTimer:
+    """Flow-level wall-clock stages (INTMAX_TPU_TRACE=1), complementing the
+    per-prove phase timer in ``engine/prover.py`` — separates circuit-build
+    and witness time from proving time, the split the reference prints with
+    ad-hoc ``Instant::now`` (``src/bin/block_circuit.rs:304-308,678-688``)."""
+
+    def __init__(self):
+        self.enabled = os.environ.get("INTMAX_TPU_TRACE") == "1"
+        self._t = time.perf_counter()
+        self._name = None
+
+    def stage(self, name: str | None) -> None:
+        now = time.perf_counter()
+        if self.enabled and self._name is not None:
+            print(f"[flow] {self._name}: {now - self._t:.1f}s", flush=True)
+        self._t = now
+        self._name = name
+
+
 def run_block_flow(
     constants: RollupConstants | None = None,
     config: CircuitConfig | None = None,
@@ -96,10 +117,13 @@ def run_block_flow(
     constants = constants or RollupConstants.test_constants()
     config = config or CircuitConfig.standard_recursion_config()
 
+    timer = _StageTimer()
     aggregator_nodes = NodeDataMemory()
     world_state_tree = SparseMerkleTree(aggregator_nodes, RootDataTmp())
 
+    timer.stage("build_user_tx_circuit")
     merge_and_purge_circuit = make_user_proof_circuit(constants, config)
+    timer.stage("state_setup")
 
     # --- sender 1: pure transfer (no merges) ---
     sender1_account = private_key_to_account(
@@ -231,9 +255,11 @@ def run_block_flow(
     merge_and_purge_circuit.targets.set_witness(
         pw3, Address(0), [], [], [], HashOut.ZERO, HashOut.ZERO
     )
+    timer.stage("prove_user_txs")
     sender1_tx_proof, sender2_tx_proof, default_user_tx_proof = _prove_group(
         merge_and_purge_circuit, [pw1, pw2, pw3], prove
     )
+    timer.stage("proposal_state")
 
     # --- proposal ---
     world_state_process_proofs = []
@@ -248,7 +274,9 @@ def run_block_flow(
     user_tx_proofs += [sender1_tx_proof, sender2_tx_proof]
     proposal_world_state_root = world_state_tree.get_root()
 
+    timer.stage("build_zkdsa_circuit")
     zkdsa_circuit = make_simple_signature_circuit(config)
+    timer.stage("prove_signatures")
     pw1 = PartialWitness()
     zkdsa_circuit.targets.set_witness(
         pw1, sender2_account.private_key, proposal_world_state_root
@@ -259,10 +287,12 @@ def run_block_flow(
         zkdsa_circuit, [pw1, pw2], prove
     )
 
+    timer.stage("build_block_circuit")
     block_circuit = make_block_proof_circuit(
         constants, merge_and_purge_circuit, zkdsa_circuit, config,
         recursive=recursive and prove,
     )
+    timer.stage("block_state")
 
     block_number = prev_block_header.block_number + 1
     received_signature_proofs = [None, sender2_received_signature]
@@ -333,12 +363,16 @@ def run_block_flow(
     )
 
     if prove:
+        timer.stage("prove_block")
         block_proof = block_circuit.set_witness_and_prove(
             detail, default_user_tx_proof, default_signature_proof
         )
+        timer.stage("verify_block")
         block_circuit.verify(block_proof)
+        timer.stage(None)
         block_pis = block_proof.public_inputs
     else:
+        timer.stage("check_block")
         pw = PartialWitness()
         block_pis = block_circuit.targets.set_witness(
             pw,
@@ -357,6 +391,7 @@ def run_block_flow(
             detail.prev_block_header,
         )
         got_pis = block_circuit.data.check_witness(pw)
+        timer.stage(None)
         assert got_pis == list(block_pis.get_entry_hash().elements), "entry hash mismatch"
         block_proof = block_pis
 
