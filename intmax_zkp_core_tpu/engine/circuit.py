@@ -488,17 +488,35 @@ class CircuitBuilder:
         for (row, col), t in self.targets_at_place.items():
             classes.setdefault(self.find(t), []).append((row, col))
 
-        sigma = np.empty((R, n), dtype=np.uint64)
-        for col in range(R):
-            for row in range(n):
-                sigma[col, row] = k_is[col] * int(w_pows[row]) % P
+        # identity layout + copy-class cycles, modmuls batched on device
+        # (the scalar double loop costs seconds at block-circuit sizes)
+        from ..ops import goldilocks as gl
+        import jax.numpy as _jnp
+
+        k_arr = np.array(k_is, dtype=np.uint64)
+        sigma = np.array(
+            gl.mul(_jnp.asarray(k_arr)[:, None], _jnp.asarray(w_pows)[None, :])
+        )
+        rows_i, cols_i, nrows_i, ncols_i = [], [], [], []
         for places in classes.values():
             if len(places) < 2:
                 continue
             places = sorted(places)
+            m = len(places)
             for i, (row, col) in enumerate(places):
-                nrow, ncol = places[(i + 1) % len(places)]
-                sigma[col, row] = k_is[ncol] * int(w_pows[nrow]) % P
+                nrow, ncol = places[(i + 1) % m]
+                rows_i.append(row)
+                cols_i.append(col)
+                nrows_i.append(nrow)
+                ncols_i.append(ncol)
+        if rows_i:
+            vals = np.asarray(
+                gl.mul(
+                    _jnp.asarray(k_arr[np.array(ncols_i)]),
+                    _jnp.asarray(w_pows[np.array(nrows_i)]),
+                )
+            )
+            sigma[np.array(cols_i), np.array(rows_i)] = vals
 
         constants_sigmas = np.concatenate([selectors, const_cols, sigma], axis=0)
 

@@ -14,6 +14,7 @@ leaf_width] for leaves, then log2(n) - cap_height rounds of batched
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 import jax
@@ -78,19 +79,30 @@ def hash_leaves(leaf_data: jnp.ndarray) -> jnp.ndarray:
     return ps.hash_no_pad(leaf_data)
 
 
+@jax.jit
+def _level_two_to_one(cur):
+    """One tree level: [m, 4] digests -> [m/2, 4].  Jitted as a unit so the
+    strided even/odd gather, the absorb concatenate and the permutation fuse
+    into ONE dispatch per level — and the compiled graph is keyed only on
+    the level shape [m, 4], so every tree in the process (wires, zs_pp,
+    quotient, constants for every circuit) shares the same per-level
+    compilations."""
+    return ps.two_to_one(cur[0::2], cur[1::2])
+
+
 def build_merkle_levels(leaf_data, cap_height: int) -> list:
     """Device-resident tree levels (levels[0] = leaf digests, levels[-1] =
-    cap); every permutation runs through the per-shape jitted permutation
-    kernel (see ``poseidon._permute_dispatch`` for why the jit boundary is
-    the single permutation and not the whole tree)."""
+    cap).  The jit boundary is the LEVEL, not the single permutation (one
+    fused dispatch per level, compilations shared across all same-width
+    trees) and not the whole tree (which would recompile per (n, leaf_width)
+    combination)."""
     leaf_data = jnp.asarray(leaf_data, dtype=jnp.uint64)
     n = leaf_data.shape[0]
     assert n & (n - 1) == 0, "leaf count must be a power of two"
     assert n >= 1 << cap_height
     levels_dev = [hash_leaves(leaf_data)]
     while levels_dev[-1].shape[0] > 1 << cap_height:
-        cur = levels_dev[-1]
-        levels_dev.append(ps.two_to_one(cur[0::2], cur[1::2]))
+        levels_dev.append(_level_two_to_one(levels_dev[-1]))
     return levels_dev
 
 
@@ -102,11 +114,22 @@ def build_merkle_tree(leaf_data, cap_height: int) -> MerkleTree:
     return MerkleTree(levels=fetch_arrays(*levels_dev), cap_height=cap_height)
 
 
+@jax.jit
+def _level_two_to_one_batch(cur):
+    """Batched tree level: [K, m, 4] -> [K, m/2, 4] in one fused dispatch
+    (see ``_level_two_to_one``)."""
+    K, m, _ = cur.shape
+    half = m // 2
+    return ps.two_to_one(
+        cur[:, 0::2].reshape(K * half, 4), cur[:, 1::2].reshape(K * half, 4)
+    ).reshape(K, half, 4)
+
+
 def build_merkle_levels_batch(leaf_data, cap_height: int) -> list:
     """Device-resident levels of K same-shape trees: leaf_data [K, m, w] ->
     list of [K, m_i, 4] arrays.  Every level hashes ALL K trees' nodes in
-    one ``two_to_one`` dispatch (the batch axis folds into the row axis),
-    so the device cost of K trees is one tree's dispatch count."""
+    one fused dispatch (the batch axis folds into the row axis), so the
+    device cost of K trees is one tree's dispatch count."""
     leaf_data = jnp.asarray(leaf_data, dtype=jnp.uint64)
     K, m, w = leaf_data.shape
     assert m & (m - 1) == 0, "leaf count must be a power of two"
@@ -114,12 +137,7 @@ def build_merkle_levels_batch(leaf_data, cap_height: int) -> list:
     digests = hash_leaves(leaf_data.reshape(K * m, w)).reshape(K, m, 4)
     levels_dev = [digests]
     while levels_dev[-1].shape[1] > 1 << cap_height:
-        cur = levels_dev[-1]
-        half = cur.shape[1] // 2
-        nxt = ps.two_to_one(
-            cur[:, 0::2].reshape(K * half, 4), cur[:, 1::2].reshape(K * half, 4)
-        ).reshape(K, half, 4)
-        levels_dev.append(nxt)
+        levels_dev.append(_level_two_to_one_batch(levels_dev[-1]))
     return levels_dev
 
 

@@ -89,15 +89,32 @@ def _mds_layer(state: jax.Array) -> jax.Array:
 
 
 def permute(state: jax.Array) -> jax.Array:
-    """Poseidon permutation over [..., 12] canonical uint64 arrays."""
+    """Poseidon permutation over [..., 12] canonical uint64 arrays.
+
+    The round loop is three ``lax.scan``s (4 full / 22 partial / 4 full
+    rounds, round constants as scanned inputs) rather than a 30x unrolled
+    trace: the traced graph is ~20x smaller, which makes the per-batch-shape
+    trace+compile of the eager dispatch path (``_permute_dispatch``) cheap —
+    a Merkle tree build touches one shape per level, and with the unrolled
+    form each cost seconds of tracing per process.  Bit-identical math; the
+    Pallas TPU kernel (``poseidon_pallas``) still uses its own unrolled body.
+    """
     rc = jnp.asarray(_RC)
-    for rnd in range(N_ROUNDS):
-        state = gl.add(state, rc[rnd])
-        if rnd < HALF_N_FULL_ROUNDS or rnd >= HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS:
-            state = _sbox(state)
-        else:
-            state = state.at[..., 0].set(_sbox(state[..., 0]))
-        state = _mds_layer(state)
+
+    def full_round(st, rc_row):
+        st = gl.add(st, rc_row)
+        st = _sbox(st)
+        return _mds_layer(st), None
+
+    def partial_round(st, rc_row):
+        st = gl.add(st, rc_row)
+        st = st.at[..., 0].set(_sbox(st[..., 0]))
+        return _mds_layer(st), None
+
+    h = HALF_N_FULL_ROUNDS
+    state, _ = jax.lax.scan(full_round, state, rc[:h])
+    state, _ = jax.lax.scan(partial_round, state, rc[h : h + N_PARTIAL_ROUNDS])
+    state, _ = jax.lax.scan(full_round, state, rc[h + N_PARTIAL_ROUNDS :])
     return state
 
 
