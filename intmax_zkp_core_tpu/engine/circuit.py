@@ -191,15 +191,7 @@ class CircuitBuilder:
         self._bind(row, base + 2, c)
         out = self._bind(row, base + 3)
         self._arith_rows[key] = (row, op + 1)
-
-        def gen(w, a=a, b=b, c=c, out=out, c0=c0, c1=c1):
-            va, vb, vc = w.get(a), w.get(b), w.get(c)
-            if va is None or vb is None or vc is None:
-                return False
-            w.set(out, (c0 * va * vb + c1 * vc) % P)
-            return True
-
-        self.generators.append(gen)
+        self.generators.append(("arith", a, b, c, out, c0, c1))
         return out
 
     def mul(self, a: int, b: int) -> int:
@@ -253,20 +245,7 @@ class CircuitBuilder:
         out_lo = self._bind(row, 5 * op + 3)
         out_hi = self._bind(row, 5 * op + 4)
         self._u32_row = (row, op + 1)
-
-        def gen(w, a=a, b=b, c=c, row=row, op=op, out_lo=out_lo, out_hi=out_hi):
-            va, vb, vc = w.get(a), w.get(b), w.get(c)
-            if va is None or vb is None or vc is None:
-                return False
-            lo, hi, chunks, u = U32MulAddGate.fill_op(va, vb, vc)
-            w.set(out_lo, lo)
-            w.set(out_hi, hi)
-            for k, ch in enumerate(chunks):
-                w.set_wire(row, U32MulAddGate.CHUNK_BASE + 32 * op + k, ch)
-            w.set_wire(row, U32MulAddGate.INV_BASE + op, u)
-            return True
-
-        self.generators.append(gen)
+        self.generators.append(("u32_mul_add", a, b, c, row, op, out_lo, out_hi))
         return out_lo, out_hi
 
     def range_check_u32(self, t: int) -> None:
@@ -295,15 +274,7 @@ class CircuitBuilder:
         ``transaction/gadgets/utils/mod.rs:19-68``)."""
         diff = self.sub(a, b)
         inv = self.add_virtual_target()
-
-        def gen(w, diff=diff, inv=inv):
-            v = w.get(diff)
-            if v is None:
-                return False
-            w.set(inv, pow(v, P - 2, P) if v != 0 else 0)
-            return True
-
-        self.generators.append(gen)
+        self.generators.append(("inv_or_zero", diff, inv))
         prod = self.mul(diff, inv)
         is_eq = self.sub(self.one(), prod)
         # diff * is_eq == 0 enforces correctness of the witness
@@ -333,16 +304,7 @@ class CircuitBuilder:
         for _ in range(n_bits):
             bt = self.add_virtual_target()
             bits.append(bt)
-
-        def gen(w, t=t, bits=tuple(bits), n_bits=n_bits):
-            v = w.get(t)
-            if v is None:
-                return False
-            for i in range(n_bits):
-                w.set(bits[i], (v >> i) & 1)
-            return True
-
-        self.generators.append(gen)
+        self.generators.append(("split_le", t, tuple(bits)))
         for bt in bits:
             self.connect(self.mul(bt, bt), bt)
         acc = self.zero()
@@ -385,21 +347,7 @@ class CircuitBuilder:
         swap_t = swap.target if swap is not None else self.zero()
         self._bind(row, PoseidonGate.W_SWAP, swap_t)
         outs = [self._bind(row, PoseidonGate.W_OUT + i) for i in range(12)]
-
-        def gen(w, inputs=tuple(inputs), swap_t=swap_t, row=row, outs=tuple(outs)):
-            vals = [w.get(t) for t in inputs]
-            sv = w.get(swap_t)
-            if any(v is None for v in vals) or sv is None:
-                return False
-            row_vals = PoseidonGate.fill_row(vals, sv)
-            for col, v in row_vals.items():
-                if col >= PoseidonGate.W_DELTA:  # non-routed intermediates
-                    w.set_wire(row, col, v)
-            for i in range(12):
-                w.set(outs[i], row_vals[PoseidonGate.W_OUT + i])
-            return True
-
-        self.generators.append(gen)
+        self.generators.append(("poseidon", row, tuple(inputs), swap_t, tuple(outs)))
         return outs
 
     def hash_n_to_hash_no_pad(self, inputs: list[int]) -> HashOutTarget:
@@ -598,6 +546,51 @@ class ProverCircuitData:
             parent[t] = parent[parent[t]]
             t = parent[t]
         return t
+
+    # -- serialization: generators are declarative records
+    # (engine/generators.py), so the whole prover state pickles.  The big
+    # derived tables (coefficient form, LDE, cap tree — ~8x blowup of
+    # constants_sigmas) and the jitted kernels are stripped and recomputed
+    # on load: they are pure functions of (config, constants_sigmas), and
+    # recomputing keeps cache files small and avoids shipping hundreds of
+    # MB through remote-device tunnels.
+    _DERIVED = ("cs_coeffs", "cs_lde", "cs_tree", "sigma", "w_pows")
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        for k in self._DERIVED + ("_kernels", "_pi_hash"):
+            state.pop(k, None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        derived = _derive_prover_tables(self.common, self.constants_sigmas)
+        self.cs_coeffs, self.cs_lde, self.cs_tree, self.sigma, self.w_pows = derived
+        cap = [tuple(int(x) for x in d) for d in self.cs_tree.cap]
+        assert cap == list(self.common.constants_sigmas_cap), (
+            "reloaded constants/sigmas commitment does not match the stored cap"
+        )
+
+
+def _derive_prover_tables(common: "CommonCircuitData", constants_sigmas: np.ndarray):
+    """Recompute (cs_coeffs, cs_lde, cs_tree, sigma, w_pows) from the
+    preprocessed matrix — shared by ``CircuitBuilder.build`` and circuit
+    deserialization."""
+    import jax.numpy as jnp
+
+    cfg = common.config
+    n = common.n
+    cs_coeffs = np.asarray(nt.intt(jnp.asarray(constants_sigmas)))
+    cs_lde = np.asarray(nt.coset_lde(jnp.asarray(cs_coeffs), cfg.fri.rate_bits))
+    cs_tree = mk.build_merkle_tree(np.ascontiguousarray(cs_lde.T), cfg.fri.cap_height)
+    sigma = constants_sigmas[common.n_sel + common.n_const_cols :]
+    w_n = primitive_root_of_unity(n.bit_length() - 1)
+    w_pows = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for r in range(n):
+        w_pows[r] = acc
+        acc = acc * w_n % P
+    return cs_coeffs, cs_lde, cs_tree, sigma, w_pows
 
 
 @dataclass

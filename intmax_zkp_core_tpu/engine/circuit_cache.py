@@ -1,0 +1,54 @@
+"""On-disk circuit cache: build once, reload in any later process.
+
+The reference rebuilds every circuit per process (plonky2 supports
+serializing ``CircuitData``; the reference never uses it).  Here a built
+circuit object — including the model-layer target structs and the full
+``ProverCircuitData`` — pickles directly (witness generators are
+declarative records, ``engine/generators.py``), so a prover service pays
+the constraint-emission + preprocessing cost once per (circuit, config)
+and every warm run starts from disk in seconds.
+
+Enabled by pointing ``INTMAX_TPU_CIRCUIT_CACHE`` at a directory (callers
+can also pass ``cache_dir``).  Cache keys must capture everything that
+changes the circuit: callers pass a descriptive name plus the config; the
+stored circuit digest is verified on load, so a stale file with a
+colliding key fails loudly rather than proving against the wrong circuit.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+
+def cache_dir() -> str | None:
+    return os.environ.get("INTMAX_TPU_CIRCUIT_CACHE") or None
+
+
+def _key_of(name: str, config) -> str:
+    fri = config.fri
+    return (
+        f"{name}-w{config.num_wires}-r{config.num_routed_wires}"
+        f"-c{config.num_challenges}-b{fri.rate_bits}-h{fri.cap_height}"
+        f"-q{fri.num_query_rounds}-p{fri.proof_of_work_bits}"
+    )
+
+
+def load_or_build(name: str, config, build_fn, directory: str | None = None):
+    """Return ``build_fn()``'s result, cached on disk under a key derived
+    from ``name`` + the circuit config.  ``build_fn`` must be deterministic;
+    the result must expose ``.data`` (a ``CircuitData``) or be one."""
+    directory = directory or cache_dir()
+    if directory is None:
+        return build_fn()
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, _key_of(name, config) + ".ckt")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    circuit = build_fn()
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(circuit, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+    return circuit

@@ -85,18 +85,7 @@ class ExtTargetAlgebra:
         b = self.b
         inv0 = b.add_virtual_target()
         inv1 = b.add_virtual_target()
-
-        def gen(w, x=x, inv0=inv0, inv1=inv1):
-            v0, v1 = w.get(x[0]), w.get(x[1])
-            if v0 is None or v1 is None:
-                return False
-            norm = (v0 * v0 - W_EXT * v1 * v1) % P
-            ninv = pow(norm, P - 2, P)
-            w.set(inv0, v0 * ninv % P)
-            w.set(inv1, (-v1) * ninv % P)
-            return True
-
-        b.generators.append(gen)
+        b.generators.append(("ext_inverse", x[0], x[1], inv0, inv1, W_EXT))
         prod = self.mul(x, (inv0, inv1))
         b.assert_one(prod[0])
         b.assert_zero(prod[1])

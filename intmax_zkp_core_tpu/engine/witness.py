@@ -55,11 +55,13 @@ class WitnessFill:
             self.set(t, v)
         for t, v in pw.values.items():
             self.set(t, v)
+        from .generators import run_generator
+
         pending = list(self.pd.generators)
         for _ in range(1000):
             still = []
             for gen in pending:
-                if not gen(self):
+                if not run_generator(self, gen):
                     still.append(gen)
             if not still:
                 break

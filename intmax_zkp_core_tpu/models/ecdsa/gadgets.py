@@ -30,6 +30,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from ...engine.circuit import BoolTarget, CircuitBuilder
+from ...engine.generators import register_generator_kind
 from .account import GX, GY, N256, P256, _point_add, point_mul
 
 N_LIMBS = 8
@@ -88,25 +89,82 @@ def _read_biguint(w, big: BigUintTarget):
     return sum(v << (32 * i) for i, v in enumerate(vals))
 
 
-def _witness_biguint(builder: CircuitBuilder, compute, inputs: list[BigUintTarget],
-                     n_out: int = 1) -> list[BigUintTarget]:
+# named compute functions for the biguint witness generator — declarative
+# records (engine/generators.py) must reference computations by name
+_BIGUINT_COMPUTES = {
+    "mulmod": lambda m, x, y: (x * y) % m,
+    "addmod": lambda m, x, y: (x + y) % m,
+    "submod": lambda m, x, y: (x - y) % m,
+    "invmod": lambda m, x: pow(x, -1, m),
+    "slope_add": lambda m, x1, y1, x2, y2: (y2 - y1) * pow((x2 - x1) % m, -1, m) % m,
+    "slope_double": lambda m, x, y: (3 * x * x) * pow(2 * y % m, -1, m) % m,
+}
+
+
+def _gen_biguint_compute(w, compute_name, modulus, input_limbs, output_limbs):
+    vals = [_read_limbs(w, limbs) for limbs in input_limbs]
+    if any(v is None for v in vals):
+        return False
+    results = _BIGUINT_COMPUTES[compute_name](modulus, *vals)
+    if len(output_limbs) == 1:
+        results = (results,)
+    for limbs, res in zip(output_limbs, results):
+        for i, t in enumerate(limbs):
+            w.set(t, (res >> (32 * i)) & 0xFFFFFFFF)
+    return True
+
+
+def _read_limbs(w, limbs):
+    vals = [w.get(t) for t in limbs]
+    if any(v is None for v in vals):
+        return None
+    return sum(v << (32 * i) for i, v in enumerate(vals))
+
+
+def _gen_mul_quotient(w, x_limbs, y_limbs, out_limbs, q_limbs, modulus):
+    xv = _read_limbs(w, x_limbs)
+    yv = _read_limbs(w, y_limbs)
+    ov = _read_limbs(w, out_limbs)
+    if xv is None or yv is None or ov is None:
+        return False
+    q = (xv * yv - ov) // modulus
+    assert 0 <= q < 1 << (32 * (N_LIMBS + 1)), "quotient out of range"
+    assert xv * yv == q * modulus + ov, "mul_nonnative witness mismatch"
+    for i, t in enumerate(q_limbs):
+        w.set(t, (q >> (32 * i)) & 0xFFFFFFFF)
+    return True
+
+
+def _gen_overflow_count(w, plus_limbs, minus_limbs, ov, modulus, ov_bound):
+    pv = [_read_limbs(w, limbs) for limbs in plus_limbs]
+    rv = [_read_limbs(w, limbs) for limbs in minus_limbs]
+    if any(v is None for v in pv + rv):
+        return False
+    diff = sum(pv) - sum(rv)
+    assert diff % modulus == 0, "addsub witness mismatch"
+    k = diff // modulus
+    assert 0 <= k < ov_bound, f"overflow count {k} out of range"
+    w.set(ov, k)
+    return True
+
+
+register_generator_kind("ecdsa_biguint", _gen_biguint_compute)
+register_generator_kind("ecdsa_mul_quotient", _gen_mul_quotient)
+register_generator_kind("ecdsa_overflow_count", _gen_overflow_count)
+
+
+def _witness_biguint(builder: CircuitBuilder, compute_name: str, modulus: int,
+                     inputs: list[BigUintTarget], n_out: int = 1) -> list[BigUintTarget]:
     """Allocate ``n_out`` range-checked biguints whose limbs are generated
-    from the integer values of ``inputs`` via ``compute(*values)``."""
+    from the integer values of ``inputs`` via the named compute function."""
     outs = [add_virtual_biguint(builder) for _ in range(n_out)]
-
-    def gen(w, inputs=tuple(inputs), outs=tuple(outs), compute=compute):
-        vals = [_read_biguint(w, b) for b in inputs]
-        if any(v is None for v in vals):
-            return False
-        results = compute(*vals)
-        if n_out == 1:
-            results = (results,)
-        for out, res in zip(outs, results):
-            for i, t in enumerate(out.limbs):
-                w.set(t, (res >> (32 * i)) & 0xFFFFFFFF)
-        return True
-
-    builder.generators.append(gen)
+    builder.generators.append((
+        "ecdsa_biguint",
+        compute_name,
+        modulus,
+        tuple(b.limbs for b in inputs),
+        tuple(o.limbs for o in outs),
+    ))
     return outs
 
 
@@ -165,21 +223,9 @@ def mul_nonnative_into(builder: CircuitBuilder, x: BigUintTarget, y: BigUintTarg
     q_limbs = builder.add_virtual_targets(N_LIMBS + 1)
     for t in q_limbs:
         builder.range_check_u32(t)
-
-    def gen(w, x=x, y=y, out=out, q_limbs=tuple(q_limbs), modulus=modulus):
-        xv = _read_biguint(w, x)
-        yv = _read_biguint(w, y)
-        ov = _read_biguint(w, out)
-        if xv is None or yv is None or ov is None:
-            return False
-        q = (xv * yv - ov) // modulus
-        assert 0 <= q < 1 << (32 * (N_LIMBS + 1)), "quotient out of range"
-        assert xv * yv == q * modulus + ov, "mul_nonnative witness mismatch"
-        for i, t in enumerate(q_limbs):
-            w.set(t, (q >> (32 * i)) & 0xFFFFFFFF)
-        return True
-
-    builder.generators.append(gen)
+    builder.generators.append((
+        "ecdsa_mul_quotient", x.limbs, y.limbs, out.limbs, tuple(q_limbs), modulus
+    ))
 
     lhs = _product_columns(builder, x, y)
     # rhs columns: q * modulus + out
@@ -208,9 +254,7 @@ def mul_nonnative(builder: CircuitBuilder, x: BigUintTarget, y: BigUintTarget,
                   modulus: int) -> BigUintTarget:
     """r = x * y mod modulus (canonical witness; constraints prove the
     congruence and r < 2^256)."""
-    (r,) = _witness_biguint(
-        builder, lambda xv, yv: (xv * yv) % modulus, [x, y], n_out=1
-    )
+    (r,) = _witness_biguint(builder, "mulmod", modulus, [x, y], n_out=1)
     mul_nonnative_into(builder, x, y, r, modulus)
     return r
 
@@ -231,20 +275,14 @@ def _addsub_check(builder: CircuitBuilder, plus: list, minus_rhs: list,
     witness overflow count ov in [0, ov_bound); returns nothing.  Each
     argument is a list of BigUintTargets summed limb-wise."""
     ov = builder.add_virtual_target()
-
-    def gen(w, plus=tuple(plus), minus_rhs=tuple(minus_rhs), ov=ov, modulus=modulus):
-        pv = [_read_biguint(w, b) for b in plus]
-        rv = [_read_biguint(w, b) for b in minus_rhs]
-        if any(v is None for v in pv + rv):
-            return False
-        diff = sum(pv) - sum(rv)
-        assert diff % modulus == 0, "addsub witness mismatch"
-        k = diff // modulus
-        assert 0 <= k < ov_bound, f"overflow count {k} out of range"
-        w.set(ov, k)
-        return True
-
-    builder.generators.append(gen)
+    builder.generators.append((
+        "ecdsa_overflow_count",
+        tuple(b.limbs for b in plus),
+        tuple(b.limbs for b in minus_rhs),
+        ov,
+        modulus,
+        ov_bound,
+    ))
     # ov in [0, ov_bound): prod over (ov - k) == 0
     prod = None
     for k in range(ov_bound):
@@ -268,7 +306,7 @@ def _addsub_check(builder: CircuitBuilder, plus: list, minus_rhs: list,
 def add_nonnative(builder: CircuitBuilder, x: BigUintTarget, y: BigUintTarget,
                   modulus: int) -> BigUintTarget:
     """r = x + y mod modulus."""
-    (r,) = _witness_biguint(builder, lambda a, b: (a + b) % modulus, [x, y])
+    (r,) = _witness_biguint(builder, "addmod", modulus, [x, y])
     _addsub_check(builder, plus=[x, y], minus_rhs=[r], modulus=modulus, ov_bound=3)
     return r
 
@@ -276,24 +314,17 @@ def add_nonnative(builder: CircuitBuilder, x: BigUintTarget, y: BigUintTarget,
 def sub_nonnative(builder: CircuitBuilder, x: BigUintTarget, y: BigUintTarget,
                   modulus: int) -> BigUintTarget:
     """r = x - y mod modulus."""
-    (r,) = _witness_biguint(builder, lambda a, b: (a - b) % modulus, [x, y])
-    # x + ov*m = y + r
+    (r,) = _witness_biguint(builder, "submod", modulus, [x, y])
+    # x + ov*m = y + r: same overflow-count witness with sides swapped
     ov = builder.add_virtual_target()
-
-    def gen(w, x=x, y=y, r=r, ov=ov, modulus=modulus):
-        xv = _read_biguint(w, x)
-        yv = _read_biguint(w, y)
-        rv = _read_biguint(w, r)
-        if xv is None or yv is None or rv is None:
-            return False
-        diff = yv + rv - xv
-        assert diff % modulus == 0, "sub witness mismatch"
-        k = diff // modulus
-        assert 0 <= k < 3, f"sub overflow {k}"
-        w.set(ov, k)
-        return True
-
-    builder.generators.append(gen)
+    builder.generators.append((
+        "ecdsa_overflow_count",
+        (y.limbs, r.limbs),
+        (x.limbs,),
+        ov,
+        modulus,
+        3,
+    ))
     prod = None
     for k in range(3):
         term = builder.arithmetic(1, 1, ov, builder.one(),
@@ -315,7 +346,7 @@ def sub_nonnative(builder: CircuitBuilder, x: BigUintTarget, y: BigUintTarget,
 
 def inv_nonnative(builder: CircuitBuilder, x: BigUintTarget, modulus: int) -> BigUintTarget:
     """r = x^-1 mod modulus (witnessed; constrained by x*r ≡ 1)."""
-    (r,) = _witness_biguint(builder, lambda v: pow(v, -1, modulus), [x])
+    (r,) = _witness_biguint(builder, "invmod", modulus, [x])
     one = constant_biguint(builder, 1)
     mul_nonnative_into(builder, x, r, one, modulus)
     return r
@@ -346,13 +377,8 @@ def curve_add_nonequal(builder: CircuitBuilder, p1: AffinePointTarget,
     """Affine addition assuming x1 != x2 (plonky2_ecdsa's ``curve_add``
     contract): slope witness lam with lam*(x2-x1) ≡ y2-y1, then
     x3 = lam^2 - x1 - x2, y3 = lam*(x1-x3) - y1."""
-    def slope(x1, y1, x2, y2):
-        return (y2 - y1) * pow((x2 - x1) % P256, -1, P256) % P256
-
     (lam,) = _witness_biguint(
-        builder,
-        lambda x1, y1, x2, y2: slope(x1, y1, x2, y2),
-        [p1.x, p1.y, p2.x, p2.y],
+        builder, "slope_add", P256, [p1.x, p1.y, p2.x, p2.y]
     )
     dx = sub_nonnative(builder, p2.x, p1.x, P256)
     dy = sub_nonnative(builder, p2.y, p1.y, P256)
@@ -368,11 +394,7 @@ def curve_add_nonequal(builder: CircuitBuilder, p1: AffinePointTarget,
 def curve_double(builder: CircuitBuilder, p: AffinePointTarget) -> AffinePointTarget:
     """Affine doubling (y != 0 on secp256k1 — no 2-torsion): slope witness
     lam with lam*(2y) ≡ 3x^2, then x3 = lam^2 - 2x, y3 = lam*(x-x3) - y."""
-    (lam,) = _witness_biguint(
-        builder,
-        lambda x, y: (3 * x * x) * pow(2 * y % P256, -1, P256) % P256,
-        [p.x, p.y],
-    )
+    (lam,) = _witness_biguint(builder, "slope_double", P256, [p.x, p.y])
     x2 = mul_nonnative(builder, p.x, p.x, P256)
     three_x2 = add_nonnative(builder, add_nonnative(builder, x2, x2, P256), x2, P256)
     two_y = add_nonnative(builder, p.y, p.y, P256)

@@ -121,8 +121,27 @@ def run_block_flow(
     aggregator_nodes = NodeDataMemory()
     world_state_tree = SparseMerkleTree(aggregator_nodes, RootDataTmp())
 
+    # circuit builds go through the on-disk cache when
+    # INTMAX_TPU_CIRCUIT_CACHE is set (engine/circuit_cache.py)
+    from ...engine.circuit_cache import load_or_build
+
+    consts_tag = "x".join(
+        str(v) for v in (
+            constants.log_max_n_users, constants.log_max_n_txs,
+            constants.log_max_n_contracts, constants.log_max_n_variables,
+            constants.log_n_txs, constants.log_n_recipients,
+            constants.log_n_contracts, constants.log_n_variables,
+            constants.n_registrations, constants.n_diffs, constants.n_merges,
+            constants.n_deposits, constants.n_scroll_flags,
+            constants.n_polygon_flags, constants.n_blocks,
+        )
+    )
+
     timer.stage("build_user_tx_circuit")
-    merge_and_purge_circuit = make_user_proof_circuit(constants, config)
+    merge_and_purge_circuit = load_or_build(
+        f"user_tx-{consts_tag}", config,
+        lambda: make_user_proof_circuit(constants, config),
+    )
     timer.stage("state_setup")
 
     # --- sender 1: pure transfer (no merges) ---
@@ -275,7 +294,9 @@ def run_block_flow(
     proposal_world_state_root = world_state_tree.get_root()
 
     timer.stage("build_zkdsa_circuit")
-    zkdsa_circuit = make_simple_signature_circuit(config)
+    zkdsa_circuit = load_or_build(
+        "zkdsa", config, lambda: make_simple_signature_circuit(config)
+    )
     timer.stage("prove_signatures")
     pw1 = PartialWitness()
     zkdsa_circuit.targets.set_witness(
@@ -288,9 +309,19 @@ def run_block_flow(
     )
 
     timer.stage("build_block_circuit")
-    block_circuit = make_block_proof_circuit(
-        constants, merge_and_purge_circuit, zkdsa_circuit, config,
-        recursive=recursive and prove,
+    # the block circuit bakes the inner circuits' verifier data, so their
+    # digests belong in the cache key
+    inner_tag = "-".join(
+        format(int(c.data.common.circuit_digest[0]), "016x")
+        for c in (merge_and_purge_circuit, zkdsa_circuit)
+    )
+    rec_tag = "rec" if (recursive and prove) else "agg"
+    block_circuit = load_or_build(
+        f"block-{consts_tag}-{rec_tag}-{inner_tag}", config,
+        lambda: make_block_proof_circuit(
+            constants, merge_and_purge_circuit, zkdsa_circuit, config,
+            recursive=recursive and prove,
+        ),
     )
     timer.stage("block_state")
 

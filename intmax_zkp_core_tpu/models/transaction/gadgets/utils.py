@@ -13,15 +13,7 @@ def is_non_zero(builder: CircuitBuilder, target: HashOutTarget) -> None:
     is_zeros = []
     for e in target:
         inv = builder.add_virtual_target()
-
-        def gen(w, e=e, inv=inv):
-            v = w.get(e)
-            if v is None:
-                return False
-            w.set(inv, pow(v, P - 2, P) if v != 0 else 0)
-            return True
-
-        builder.generators.append(gen)
+        builder.generators.append(("inv_or_zero", e, inv))
         # not_y_times_inv = 1 - y*inv must be 0 or 1
         nyi = builder.arithmetic(P - 1, 1, e, inv, builder.one())
         z = builder.arithmetic(1, P - 1, nyi, nyi, nyi)  # nyi^2 - nyi
