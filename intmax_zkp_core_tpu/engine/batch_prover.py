@@ -52,12 +52,25 @@ P = gl.P_INT
 _VMAP_JITS: dict = {}
 
 
-def _vmapped(name: str, fn, in_axes, use_jit: bool):
-    key = (name, id(fn), in_axes, use_jit)
+def _vmapped(name: str, fn, in_axes, use_jit: bool, aot: bool = False,
+             extra: str = ""):
+    """Vmapped (and optionally jitted) kernel, cached per call-site name.
+    ``aot=True`` routes through the disk-backed executable cache
+    (engine/aot_cache.py) so warm processes skip re-tracing; mesh-sharded
+    runs must pass ``aot=False`` (serialized executables bake their device
+    assignment)."""
+    key = (name, id(fn), in_axes, use_jit, aot, extra)
     entry = _VMAP_JITS.get(key)
     if entry is None:
         v = jax.vmap(fn, in_axes=in_axes)
-        entry = jax.jit(v) if use_jit else v
+        if use_jit and aot:
+            from .aot_cache import AotJit
+
+            entry = AotJit(v, f"vmap_{name}", extra=extra)
+        elif use_jit:
+            entry = jax.jit(v)
+        else:
+            entry = v
         _VMAP_JITS[key] = entry
     return entry
 
@@ -129,6 +142,7 @@ def prove_batch(
     kernels = get_circuit_kernels(pd)
     intern = kernels["_internals"]
     use_jit = intern["use_jit"] or mesh is not None
+    aot = mesh is None  # serialized executables bake device assignment
 
     if mesh is not None:
         d = mesh.shape[axis_name]
@@ -178,7 +192,8 @@ def prove_batch(
 
     # ---- 3. permutation argument columns ----
     perm_batch = _vmapped(
-        "perm_columns", intern["perm_columns_impl"], (0, 0, 0, None, None), use_jit
+        "perm_columns", intern["perm_columns_impl"], (0, 0, 0, None, None),
+        use_jit, aot,
     )
     betas_dev = put(betas)
     gammas_dev = put(gammas)
@@ -214,7 +229,7 @@ def prove_batch(
         "perm_quotient",
         intern["perm_quotient_part"],
         (0, 0, 0, 0, 0, 0, None, None, None),
-        use_jit,
+        use_jit, aot, extra=f"b{fri_cfg.blowup}",
     )
     acc, apows = pqp_batch(
         wires_lde_arr,
@@ -230,7 +245,8 @@ def prove_batch(
     for gi, chunk_key in intern["gate_chunk_keys"]:
         raw = _gate_quotient_chunk(*chunk_key, use_jit=False)
         fn = _vmapped(
-            f"chunk:{chunk_key}", raw, (0, None, None, 0, 0, 0, 0), use_jit
+            f"chunk:{chunk_key}", raw, (0, None, None, 0, 0, 0, 0),
+            use_jit, aot, extra=str(chunk_key),
         )
         acc, apows = fn(
             wires_lde_arr,
@@ -242,7 +258,8 @@ def prove_batch(
             apows,
         )
     finish_batch = _vmapped(
-        "finish", intern["quotient_finish"], (0, None, None), use_jit
+        "finish", intern["quotient_finish"], (0, None, None),
+        use_jit, aot, extra=f"b{fri_cfg.blowup}",
     )
     quotient_matrices_dev = finish_batch(acc, intern["z_h"], intern["shift_pows"])
     quot_coeffs_dev, quot_lde_dev, quot_lde, quotient_trees, _ = _commit_batch(
@@ -263,7 +280,7 @@ def prove_batch(
     all_coeffs_dev = jnp.concatenate(
         [cs_coeffs_b, wire_coeffs_dev, zspp_coeffs_dev, quot_coeffs_dev], axis=1
     )
-    open_batch = _vmapped("open", _open_columns, (0, 0), use_jit)
+    open_batch = _vmapped("open", _open_columns, (0, 0), use_jit, aot)
     zetas_arr = put(np.array(zetas, dtype=np.uint64))
     gzetas_arr = put(np.array(gzetas, dtype=np.uint64))
     opens_zeta, opens_gzeta_z = mk.fetch_arrays(
@@ -307,7 +324,7 @@ def prove_batch(
             alpha_pows_all[k, i] = apow
             apow = ext_mul(apow, alpha_fris[k])
 
-    combine_batch = _vmapped("combine", _combine_columns, (0, 0), use_jit)
+    combine_batch = _vmapped("combine", _combine_columns, (0, 0), use_jit, aot)
     comb1 = combine_batch(batch1_lde_dev, put(alpha_pows_all[:, :m1]))
     comb2 = combine_batch(
         zspp_lde_dev[:, :C], put(alpha_pows_all[:, m1 : m1 + C])
@@ -335,7 +352,7 @@ def prove_batch(
     xs_ext = jnp.stack([intern["xs"], jnp.zeros(lde_n, dtype=jnp.uint64)], axis=-1)
 
     fri_init_batch = _vmapped(
-        "fri_init", _fri_initial_one, (0, 0, None, 0, 0, 0, 0), use_jit
+        "fri_init", _fri_initial_one, (0, 0, None, 0, 0, 0, 0), use_jit, aot
     )
     G = fri_init_batch(
         comb1,
@@ -350,7 +367,7 @@ def prove_batch(
     # fold all K proofs in lockstep (per-proof transcripts drive the betas).
     # Layer eval pairs stay device-side: each layer tree's leaf level IS the
     # pair table (4-wide hash_or_noop passthrough, see fri.query_rounds).
-    fold_batch = _vmapped("fold", _fold_step, (0, None, 0), use_jit)
+    fold_batch = _vmapped("fold", _fold_step, (0, None, 0), use_jit, aot)
     trees_per = [[] for _ in range(K)]
     cur = G  # [K, N, 2]
     cur_shift = gl.MULTIPLICATIVE_GROUP_GENERATOR % P

@@ -94,7 +94,9 @@ def _gate_quotient_chunk(gate_id: str, lo: int, hi: int, num_wires: int,
                 out_apows.append(apow)
             return jnp.stack(out_acc), jnp.stack(out_apows)
 
-        entry = (run, jax.jit(run))
+        from .aot_cache import AotJit
+
+        entry = (run, AotJit(run, f"gate_chunk_{gate_id}", extra=str(key)))
         _GATE_CHUNK_CACHE[key] = entry
     return entry[1] if use_jit else entry[0]
 
@@ -110,7 +112,6 @@ class Proof:
     public_inputs: list
 
 
-@partial(jax.jit, static_argnums=())
 def _open_columns(coeffs: jnp.ndarray, zeta: jnp.ndarray) -> jnp.ndarray:
     """Evaluate S column polynomials [S, n] at an extension point [2] via a
     scanned Horner loop; returns [S, 2]."""
@@ -127,11 +128,9 @@ def _open_columns(coeffs: jnp.ndarray, zeta: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-@jax.jit
 def _combine_columns(lde_matrix: jnp.ndarray, pows_arr: jnp.ndarray) -> jnp.ndarray:
     """sum_i alpha^i * p_i(X): base-field columns [m, lde_n] times extension
-    alpha powers [m, 2] -> [lde_n, 2].  Module-level so it is traced once
-    per shape, not re-jitted on every proof."""
+    alpha powers [m, 2] -> [lde_n, 2]."""
     acc0 = jnp.zeros((lde_matrix.shape[1],), dtype=jnp.uint64)
     acc1 = jnp.zeros_like(acc0)
 
@@ -145,6 +144,11 @@ def _combine_columns(lde_matrix: jnp.ndarray, pows_arr: jnp.ndarray) -> jnp.ndar
     (acc0, acc1), _ = jax.lax.scan(step, (acc0, acc1), (lde_matrix, pows_arr))
     return jnp.stack([acc0, acc1], axis=-1)  # [lde_n, 2]
 
+
+from .aot_cache import AotJit as _AotJit
+
+_open_columns_aot = _AotJit(_open_columns, "open_columns")
+_combine_columns_aot = _AotJit(_combine_columns, "combine_columns")
 
 # LDEs at least this long go through the sharded four-step NTT when a
 # commit mesh is active (parallel.mesh.use_commit_mesh); below it the
@@ -270,7 +274,8 @@ def get_circuit_kernels(pd):
     id_vals_c = jnp.asarray(id_vals)
     sigma_c = jnp.asarray(pd.sigma)
 
-    @jax.jit
+    from .aot_cache import AotJit
+
     def perm_columns_impl(wires, betas, gammas, id_vals_a, sigma_a):
         """wires [R, n]; betas/gammas [C] -> (z_cols [C, n], pp [C, nch-1, n],
         wrap [C] which must be all-ones).  id/sigma tables are arguments so
@@ -312,8 +317,10 @@ def get_circuit_kernels(pd):
         zs, pps, wraps = jax.vmap(per_challenge)(betas, gammas)
         return zs, pps, wraps
 
+    perm_columns_jit = AotJit(perm_columns_impl, "perm_columns")
+
     def perm_columns(wires, betas, gammas):
-        return perm_columns_impl(wires, betas, gammas, id_vals_c, sigma_c)
+        return perm_columns_jit(wires, betas, gammas, id_vals_c, sigma_c)
 
     # The quotient is compiled in bounded pieces rather than one monolithic
     # graph: one kernel for the permutation-argument terms, one per
@@ -380,11 +387,13 @@ def get_circuit_kernels(pd):
         or os.environ.get("INTMAX_TPU_FORCE_JIT") == "1"
     )
 
-    def _wrap(f):
-        return jax.jit(f) if use_jit else f
+    def _wrap(f, name):
+        # the FRI blowup shapes the kernel but is not recoverable from arg
+        # shapes alone — it must ride in the AOT cache key
+        return AotJit(f, name, extra=f"b{cfg.fri.blowup}") if use_jit else f
 
-    perm_quotient_fn = _wrap(perm_quotient_part)
-    finish_fn = _wrap(quotient_finish)
+    perm_quotient_fn = _wrap(perm_quotient_part, "perm_quotient")
+    finish_fn = _wrap(quotient_finish, "quotient_finish")
     sel_cols = [sel_lde[i] for i in range(n_sel)]
     gate_chunks = []
     gate_chunk_keys = []
@@ -612,8 +621,8 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
         axis=0,
     )
     opens_zeta, opens_gzeta_z = mk.fetch_arrays(
-        _open_columns(all_coeffs_dev, zeta_arr),
-        _open_columns(zspp_coeffs_dev[: cfg.num_challenges], gzeta_arr),
+        _open_columns_aot(all_coeffs_dev, zeta_arr),
+        _open_columns_aot(zspp_coeffs_dev[: cfg.num_challenges], gzeta_arr),
     )
 
     n_cs = pd.cs_coeffs.shape[0]
@@ -647,7 +656,7 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
         alpha_pows.append(apow)
         apow = ext_mul(apow, alpha_fri)
 
-    comb1 = _combine_columns(batch1_lde_dev, jnp.asarray(np.array(alpha_pows[:m1], dtype=np.uint64)))
+    comb1 = _combine_columns_aot(batch1_lde_dev, jnp.asarray(np.array(alpha_pows[:m1], dtype=np.uint64)))
     comb1_at_zeta = (0, 0)
     flat_opens = (
         openings["constants_sigmas"] + openings["wires"] + openings["zs_pp"] + openings["quotient"]
@@ -655,7 +664,7 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     for i, y in enumerate(flat_opens):
         comb1_at_zeta = ext_add(comb1_at_zeta, ext_mul(alpha_pows[i], y))
 
-    comb2 = _combine_columns(
+    comb2 = _combine_columns_aot(
         zspp_lde_dev[: cfg.num_challenges],
         jnp.asarray(np.array(alpha_pows[m1 : m1 + cfg.num_challenges], dtype=np.uint64)),
     )
