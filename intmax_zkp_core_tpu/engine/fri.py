@@ -59,12 +59,12 @@ class FriProof:
     query_rounds: list
 
 
-@jax.jit
 def _fold_step(cur: jnp.ndarray, inv2x: jnp.ndarray, beta_arr: jnp.ndarray) -> jnp.ndarray:
     """One FRI fold: cur [m, 2] -> [m/2, 2] via
     f'(x^2) = (f(x)+f(-x))/2 + beta * (f(x)-f(-x))/(2x).
-    Module-level jit: one device dispatch per layer instead of ~8 eager
-    u64 ops (each a round-trip on remote backends)."""
+    One device dispatch per layer instead of ~8 eager u64 ops (each a
+    round-trip on remote backends); the single-proof path goes through the
+    AOT executable cache below, the batch prover vmaps the raw function."""
     half = cur.shape[0] // 2
     e_pos, e_neg = cur[:half], cur[half:]
     s = gl.ext_add(e_pos, e_neg)  # f(x) + f(-x)
@@ -73,6 +73,11 @@ def _fold_step(cur: jnp.ndarray, inv2x: jnp.ndarray, beta_arr: jnp.ndarray) -> j
     half_sum = gl.mul(s, inv2)
     slope = gl.mul(d, inv2x[:, None])  # (f(x)-f(-x)) / (2x)
     return gl.ext_add(half_sum, gl.ext_mul(slope, jnp.broadcast_to(beta_arr, slope.shape)))
+
+
+from .aot_cache import AotJit as _AotJit
+
+_fold_step_aot = _AotJit(_fold_step, "fold_step")
 
 
 def fold_layers(evals: jnp.ndarray, shift: int, cfg: FriConfig, challenger: Challenger):
@@ -101,7 +106,7 @@ def fold_layers(evals: jnp.ndarray, shift: int, cfg: FriConfig, challenger: Chal
         betas.append(beta)
         inv2x = jnp.asarray(_inv_2x_table(m.bit_length() - 1, cur_shift))
         beta_arr = jnp.asarray(np.array(beta, dtype=np.uint64))
-        cur = _fold_step(cur, inv2x, beta_arr)
+        cur = _fold_step_aot(cur, inv2x, beta_arr)
         cur_shift = cur_shift * cur_shift % P
 
     # final polynomial coefficients from remaining evals
