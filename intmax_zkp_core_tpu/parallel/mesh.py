@@ -26,6 +26,38 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "d") -> Mesh:
     return Mesh(np.array(devices), (axis_name,))
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> Mesh:
+    """Multi-host entry point: initialize ``jax.distributed`` and return a
+    1-axis mesh over every chip in the pod slice.
+
+    The reference has no distributed story at all (SURVEY §2.3: its only
+    parallelism is in-process rayon); this is the TPU-native equivalent for
+    scaling past one host.  On Cloud TPU pods the coordinator/process
+    arguments resolve automatically from the TPU metadata environment, so
+    ``init_distributed()`` with no arguments is the common call — run the
+    SAME program on every host (SPMD), then hand the returned mesh to
+    ``prove_batch(..., mesh=...)`` (proof-level axis) or
+    ``use_commit_mesh`` (intra-op NTT axis).  Collectives ride ICI within
+    the slice; only host-side proof aggregation crosses DCN.
+
+    No-op when jax.distributed is already initialized (safe to call from
+    library code); single-process runs simply get the local-device mesh.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        # already initialized (or single-process without coordinator info):
+        # fall through to the device mesh over whatever is visible
+        pass
+    return make_mesh()
+
+
 _COMMIT_MESH: Mesh | None = None
 _COMMIT_AXIS: str = "d"
 

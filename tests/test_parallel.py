@@ -139,3 +139,14 @@ def test_distributed_prove_batch_bitwise_identical():
     for pw, mp in zip(pws, mesh_proofs):
         assert mp == circ.data.prove(pw)
         circ.data.verify(mp)
+
+
+def test_init_distributed_single_process_falls_back_to_local_mesh():
+    """Multi-host entry point (SURVEY §2.3 comm-backend analogue): without
+    a coordinator it degrades to the local-device mesh and is idempotent."""
+    from intmax_zkp_core_tpu.parallel.mesh import init_distributed
+
+    m1 = init_distributed()
+    m2 = init_distributed()
+    assert m1.shape == m2.shape
+    assert m1.shape["d"] == len(jax.devices())
