@@ -455,9 +455,32 @@ def get_circuit_kernels(pd):
 
 def compute_wire_matrix(pd, pw: PartialWitness):
     """Run witness generation and assemble the [num_wires, n] matrix plus
-    public inputs (shared by prove() and check_witness())."""
+    public inputs (shared by prove() and check_witness()).
+
+    When the native witness engine is available, the generator fixpoint
+    runs in C++ (native/witness_native.cpp) and the wire matrix assembles
+    with numpy scatters over the circuit's cached (place -> root) tables;
+    the Python ``WitnessFill`` path is the bit-exact fallback/oracle."""
+    from ..native.witness import native_fill, native_witness_enabled
+
     cfg = pd.common.config
     n = pd.common.n
+    if native_witness_enabled():
+        values, has, wrows, wcols, wvals, plan = native_fill(pd, pw)
+        missing = ~has[plan.place_roots].astype(bool)
+        if missing.any():
+            i = int(np.nonzero(missing)[0][0])
+            raise AssertionError(
+                "unset wire target at place "
+                f"{(int(plan.place_rows[i]), int(plan.place_cols[i]))}"
+            )
+        wires = np.zeros((cfg.num_wires, n), dtype=np.uint64)
+        wires[plan.place_cols, plan.place_rows] = values[plan.place_roots]
+        wires[wcols, wrows] = wvals
+        assert has[plan.pi_roots].all(), "unset public input"
+        public_inputs = [int(v) for v in values[plan.pi_roots]]
+        return wires, public_inputs
+
     fill = WitnessFill(pd)
     fill.run(pw)
     wires = np.zeros((cfg.num_wires, n), dtype=np.uint64)

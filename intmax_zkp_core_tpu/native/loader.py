@@ -81,6 +81,79 @@ def native_available() -> bool:
     return _build_and_load() is not None
 
 
+_SRC_WITNESS = os.path.join(_HERE, "witness_native.cpp")
+_wlib = None
+_wbuild_failed = False
+
+
+def witness_lib():
+    """Build + load the native witness-generation engine (or None).
+
+    Initialized with the Poseidon round constants, the dense MDS matrix and
+    the fast-partial affine tables from the Python source of truth, so the
+    C++ PoseidonGate fill is definitionally the same computation."""
+    global _wlib, _wbuild_failed
+    if _wlib is not None or _wbuild_failed:
+        return _wlib
+    with _lock:
+        if _wlib is not None or _wbuild_failed:
+            return _wlib
+        try:
+            src = open(_SRC_WITNESS, "rb").read()
+            tag = hashlib.sha256(src).hexdigest()[:16]
+            cache_dir = os.environ.get(
+                "INTMAX_TPU_NATIVE_CACHE",
+                os.path.expanduser("~/.cache/intmax_zkp_core_tpu_native"),
+            )
+            os.makedirs(cache_dir, exist_ok=True)
+            so_path = os.path.join(cache_dir, f"witness_{tag}.so")
+            if not os.path.exists(so_path):
+                tmp = so_path + f".tmp{os.getpid()}"
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     _SRC_WITNESS, "-o", tmp],
+                    check=True,
+                    capture_output=True,
+                )
+                os.replace(tmp, so_path)
+            lib = ctypes.CDLL(so_path)
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.witness_init.argtypes = [u64p, u64p, u64p, u64p]
+            lib.witness_run.argtypes = [
+                ctypes.c_int64, i64p, u64p, u8p,
+                u64p, ctypes.c_int64, i64p,
+                u8p,
+                i64p, i64p, u64p,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.witness_run.restype = ctypes.c_int64
+
+            from ..engine.gates import PARTIAL_A, PARTIAL_B
+            from ..ops.poseidon import _MDS
+            from ..ops.poseidon_constants import ALL_ROUND_CONSTANTS
+
+            rc = np.array(ALL_ROUND_CONSTANTS, dtype=np.uint64)
+            mds = np.ascontiguousarray(_MDS, dtype=np.uint64).reshape(-1)
+            pa = np.ascontiguousarray(
+                np.array(PARTIAL_A, dtype=np.uint64)
+            ).reshape(-1)
+            pb = np.ascontiguousarray(
+                np.array(PARTIAL_B, dtype=np.uint64)
+            ).reshape(-1)
+            assert pa.shape == (22 * 35,) and pb.shape == (12 * 35,)
+            lib.witness_init(
+                rc.ctypes.data_as(u64p), mds.ctypes.data_as(u64p),
+                pa.ctypes.data_as(u64p), pb.ctypes.data_as(u64p),
+            )
+            _wlib = lib
+        except Exception:
+            _wbuild_failed = True
+            _wlib = None
+    return _wlib
+
+
 def native_permute_batch(states: np.ndarray) -> np.ndarray | None:
     """[n, 12] uint64 -> permuted copy, or None if unavailable."""
     lib = _build_and_load()
