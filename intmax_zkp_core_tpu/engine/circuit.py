@@ -548,49 +548,28 @@ class ProverCircuitData:
         return t
 
     # -- serialization: generators are declarative records
-    # (engine/generators.py), so the whole prover state pickles.  The big
-    # derived tables (coefficient form, LDE, cap tree — ~8x blowup of
-    # constants_sigmas) and the jitted kernels are stripped and recomputed
-    # on load: they are pure functions of (config, constants_sigmas), and
-    # recomputing keeps cache files small and avoids shipping hundreds of
-    # MB through remote-device tunnels.
-    _DERIVED = ("cs_coeffs", "cs_lde", "cs_tree", "sigma", "w_pows")
+    # (engine/generators.py), so the whole prover state pickles.  Only the
+    # runtime caches (jitted kernels, fill plan, stashed pi hash) are
+    # stripped; the derived commitment tables ride along — they cost disk
+    # (~8x the preprocessed matrix) but loading them locally is seconds,
+    # whereas recomputing them on a remote-tunneled device was measured at
+    # anywhere from 27 s to 10+ min depending on tunnel load.  The cap is
+    # re-verified against the stored verifier data on load.
 
     def __getstate__(self):
         state = dict(self.__dict__)
-        for k in self._DERIVED + ("_kernels", "_pi_hash"):
+        for k in ("_kernels", "_pi_hash", "_fill_plan"):
             state.pop(k, None)
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
-        derived = _derive_prover_tables(self.common, self.constants_sigmas)
-        self.cs_coeffs, self.cs_lde, self.cs_tree, self.sigma, self.w_pows = derived
         cap = [tuple(int(x) for x in d) for d in self.cs_tree.cap]
         assert cap == list(self.common.constants_sigmas_cap), (
             "reloaded constants/sigmas commitment does not match the stored cap"
         )
 
 
-def _derive_prover_tables(common: "CommonCircuitData", constants_sigmas: np.ndarray):
-    """Recompute (cs_coeffs, cs_lde, cs_tree, sigma, w_pows) from the
-    preprocessed matrix — shared by ``CircuitBuilder.build`` and circuit
-    deserialization."""
-    import jax.numpy as jnp
-
-    cfg = common.config
-    n = common.n
-    cs_coeffs = np.asarray(nt.intt(jnp.asarray(constants_sigmas)))
-    cs_lde = np.asarray(nt.coset_lde(jnp.asarray(cs_coeffs), cfg.fri.rate_bits))
-    cs_tree = mk.build_merkle_tree(np.ascontiguousarray(cs_lde.T), cfg.fri.cap_height)
-    sigma = constants_sigmas[common.n_sel + common.n_const_cols :]
-    w_n = primitive_root_of_unity(n.bit_length() - 1)
-    w_pows = np.empty(n, dtype=np.uint64)
-    acc = 1
-    for r in range(n):
-        w_pows[r] = acc
-        acc = acc * w_n % P
-    return cs_coeffs, cs_lde, cs_tree, sigma, w_pows
 
 
 @dataclass

@@ -39,7 +39,7 @@ def test_pickled_circuit_proves_bit_identically():
     circ.verify(p1)
 
     reloaded = pickle.loads(pickle.dumps(circ))
-    # the derived commitment tables were stripped and recomputed on load
+    # the commitment tables survive the round-trip and re-verify vs the cap
     assert (reloaded.data.prover.cs_lde == circ.data.prover.cs_lde).all()
     p2 = reloaded.prove(sk, msg)
     reloaded.verify(p2)
