@@ -129,11 +129,15 @@ def _measure_zkdsa(k: int = 8) -> float:
     return k / (time.perf_counter() - t0)
 
 
-def _worker(cpu: bool) -> None:
+def _worker(cpu: bool, only_poseidon: bool = False,
+            skip_poseidon: bool = False) -> None:
     """Subprocess body: measure on the default (TPU) backend, or on CPU.
 
     Metrics print incrementally (cheapest-to-fail last), headline Poseidon
-    LAST so the driver's tail-parse always lands on it."""
+    LAST so the driver's tail-parse always lands on it.  The parent runs
+    the TPU side in two stages (``--only-poseidon`` then
+    ``--skip-poseidon``) so a cold-cache zkdsa compile marathon can never
+    starve the cheap headline metric."""
     if cpu:
         import jax
 
@@ -143,6 +147,15 @@ def _worker(cpu: bool) -> None:
     else:
         sizes = {"poseidon": (1 << 15, 32), 16: (8, 8), 20: (2, 4)}
         zk_k = 8
+    if only_poseidon:
+        b, it = sizes["poseidon"]
+        v = _measure_poseidon(b, it)
+        _emit(
+            "poseidon_permutations_per_s", v, "perm/s",
+            v / REFERENCE_CPU_HASHES_PER_S,
+            "baseline modeled: ~1.2us/perm single-thread plonky2 on server x86",
+        )
+        return
     for log_n in (16, 20):
         b, it = sizes[log_n]
         try:
@@ -164,6 +177,8 @@ def _worker(cpu: bool) -> None:
         )
     except Exception as e:
         print(f"# zkdsa failed: {e}", file=sys.stderr, flush=True)
+    if skip_poseidon:
+        return
     b, it = sizes["poseidon"]
     v = _measure_poseidon(b, it)
     _emit(
@@ -189,11 +204,11 @@ def main():
 
     here = os.path.abspath(__file__)
 
-    def run(args, env=None):
+    def run(args, env=None, timeout=2400):
         try:
             out = subprocess.run(
                 [sys.executable, here] + args,
-                capture_output=True, text=True, timeout=2400, env=env,
+                capture_output=True, text=True, timeout=timeout, env=env,
             )
             return [l for l in out.stdout.splitlines() if l.startswith("{")]
         except subprocess.TimeoutExpired as e:
@@ -202,7 +217,12 @@ def main():
                 stdout = stdout.decode(errors="replace")
             return [l for l in stdout.splitlines() if l.startswith("{")]
 
-    lines = run(["--tpu-worker"])
+    # Stage 1: the cheap headline metric alone (one small kernel compile),
+    # so NTT/zkdsa cold-cache compile marathons can never starve it.
+    headline = run(["--tpu-worker", "--only-poseidon"], timeout=1500)
+    # Stage 2: the wide metrics (NTT throughput, zkdsa proofs/s).
+    lines = run(["--tpu-worker", "--skip-poseidon"])
+    lines += headline  # headline LAST: the driver tail-parses it
     if not any("poseidon_permutations_per_s" in l for l in lines):
         env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
         env["JAX_PLATFORMS"] = "cpu"
@@ -215,7 +235,11 @@ def main():
 
 if __name__ == "__main__":
     if "--tpu-worker" in sys.argv:
-        _worker(cpu=False)
+        _worker(
+            cpu=False,
+            only_poseidon="--only-poseidon" in sys.argv,
+            skip_poseidon="--skip-poseidon" in sys.argv,
+        )
     elif "--cpu-worker" in sys.argv:
         _worker(cpu=True)
     else:
