@@ -280,7 +280,8 @@ def prove_batch(
     all_coeffs_dev = jnp.concatenate(
         [cs_coeffs_b, wire_coeffs_dev, zspp_coeffs_dev, quot_coeffs_dev], axis=1
     )
-    open_batch = _vmapped("open", _open_columns, (0, 0), use_jit, aot)
+    open_batch = _vmapped("open", _open_columns, (0, 0), use_jit, aot,
+                          extra="v2")
     zetas_arr = put(np.array(zetas, dtype=np.uint64))
     gzetas_arr = put(np.array(gzetas, dtype=np.uint64))
     opens_zeta, opens_gzeta_z = mk.fetch_arrays(
@@ -324,7 +325,8 @@ def prove_batch(
             alpha_pows_all[k, i] = apow
             apow = ext_mul(apow, alpha_fris[k])
 
-    combine_batch = _vmapped("combine", _combine_columns, (0, 0), use_jit, aot)
+    combine_batch = _vmapped("combine", _combine_columns, (0, 0), use_jit,
+                             aot, extra="v2")
     comb1 = combine_batch(batch1_lde_dev, put(alpha_pows_all[:, :m1]))
     comb2 = combine_batch(
         zspp_lde_dev[:, :C], put(alpha_pows_all[:, m1 : m1 + C])

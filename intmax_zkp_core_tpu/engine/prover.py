@@ -113,42 +113,57 @@ class Proof:
 
 
 def _open_columns(coeffs: jnp.ndarray, zeta: jnp.ndarray) -> jnp.ndarray:
-    """Evaluate S column polynomials [S, n] at an extension point [2] via a
-    scanned Horner loop; returns [S, 2]."""
+    """Evaluate S column polynomials [S, n] at an extension point [2];
+    returns [S, 2].
+
+    Log-depth even/odd folding instead of an n-step Horner scan:
+    ``p(z) = E(z^2) + z * O(z^2)`` halves the coefficient count per fold,
+    so a 32768-coefficient circuit takes 15 wide vector steps rather than
+    32768 sequential ones.  All arithmetic is exact mod p, so the result
+    is bit-identical to Horner."""
     S, n = coeffs.shape
-
-    def step(acc, coeff_col):
-        # acc: [S, 2]; coeff_col: [S]
-        prod = gl.ext_mul(acc, jnp.broadcast_to(zeta, acc.shape))
-        prod = prod.at[..., 0].set(gl.add(prod[..., 0], coeff_col))
-        return prod, None
-
-    init = jnp.zeros((S, 2), dtype=jnp.uint64)
-    acc, _ = jax.lax.scan(step, init, jnp.flip(coeffs.T, axis=0))
-    return acc
+    assert n & (n - 1) == 0, "column length must be a power of two"
+    cur = jnp.stack([coeffs, jnp.zeros_like(coeffs)], axis=-1)  # [S, n, 2]
+    z = zeta  # [2], then z^2, z^4, ... per fold
+    while cur.shape[1] > 1:
+        # even/odd split via reshape (adjacent pairs), not strided slices —
+        # friendlier to the TPU u64 rewriter
+        pairs = cur.reshape(S, cur.shape[1] // 2, 2, 2)
+        even = pairs[:, :, 0]
+        odd = pairs[:, :, 1]
+        cur = gl.ext_add(even, gl.ext_mul(odd, jnp.broadcast_to(z, odd.shape)))
+        z = gl.ext_mul(z, z)
+    return cur[:, 0]
 
 
 def _combine_columns(lde_matrix: jnp.ndarray, pows_arr: jnp.ndarray) -> jnp.ndarray:
     """sum_i alpha^i * p_i(X): base-field columns [m, lde_n] times extension
-    alpha powers [m, 2] -> [lde_n, 2]."""
-    acc0 = jnp.zeros((lde_matrix.shape[1],), dtype=jnp.uint64)
-    acc1 = jnp.zeros_like(acc0)
+    alpha powers [m, 2] -> [lde_n, 2].
 
-    def step(carry, inp):
-        a0, a1 = carry
-        col, pw = inp
-        a0 = gl.add(a0, gl.mul(col, pw[0]))
-        a1 = gl.add(a1, gl.mul(col, pw[1]))
-        return (a0, a1), None
-
-    (acc0, acc1), _ = jax.lax.scan(step, (acc0, acc1), (lde_matrix, pows_arr))
-    return jnp.stack([acc0, acc1], axis=-1)  # [lde_n, 2]
+    The weighted terms reduce in a log-depth halving tree (m padded to a
+    power of two with zero rows) instead of an m-step sequential scan;
+    modular addition is associative, so the sum is bit-identical."""
+    t0 = gl.mul(lde_matrix, pows_arr[:, 0:1])  # [m, lde_n]
+    t1 = gl.mul(lde_matrix, pows_arr[:, 1:2])
+    m = t0.shape[0]
+    mp = 1 << max(m - 1, 0).bit_length()
+    if mp != m:
+        pad = jnp.zeros((mp - m, t0.shape[1]), dtype=jnp.uint64)
+        t0 = jnp.concatenate([t0, pad], axis=0)
+        t1 = jnp.concatenate([t1, pad], axis=0)
+    while t0.shape[0] > 1:
+        half = t0.shape[0] // 2
+        t0 = gl.add(t0[:half], t0[half:])
+        t1 = gl.add(t1[:half], t1[half:])
+    return jnp.stack([t0[0], t1[0]], axis=-1)  # [lde_n, 2]
 
 
 from .aot_cache import AotJit as _AotJit
 
-_open_columns_aot = _AotJit(_open_columns, "open_columns")
-_combine_columns_aot = _AotJit(_combine_columns, "combine_columns")
+# extra="v2": the log-depth rewrites changed these kernels' graphs, so
+# executables cached by the old scan versions must not be loaded
+_open_columns_aot = _AotJit(_open_columns, "open_columns", extra="v2")
+_combine_columns_aot = _AotJit(_combine_columns, "combine_columns", extra="v2")
 
 # LDEs at least this long go through the sharded four-step NTT when a
 # commit mesh is active (parallel.mesh.use_commit_mesh); below it the

@@ -178,3 +178,50 @@ def test_split_le_canonical_edge_values():
         pw2.set_target(bt.target, (noncanon >> i) & 1)
     with pytest.raises(AssertionError):
         check_witness(data2, pw2)
+
+
+def test_open_and_combine_kernels_match_scalar_oracle():
+    """The log-depth openings / FRI-combine kernels (engine/prover.py
+    `_open_columns`/`_combine_columns`) are bit-identical to scalar Horner
+    / sequential weighted sums, including the vmapped (batch-prover) path
+    and a non-power-of-two column count for combine."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from intmax_zkp_core_tpu.engine.prover import _combine_columns, _open_columns
+
+    W = 7  # extension non-residue
+    rng = np.random.default_rng(5)
+
+    def ext_mul(a, b):
+        return ((a[0] * b[0] + W * a[1] * b[1]) % P, (a[0] * b[1] + a[1] * b[0]) % P)
+
+    S, n = 6, 128
+    coeffs = rng.integers(0, P, size=(S, n), dtype=np.uint64)
+    zeta = rng.integers(0, P, size=(2,), dtype=np.uint64)
+    got = np.asarray(_open_columns(jnp.asarray(coeffs), jnp.asarray(zeta)))
+    for s in range(S):
+        acc = (0, 0)
+        for c in coeffs[s][::-1]:
+            acc = ext_mul(acc, (int(zeta[0]), int(zeta[1])))
+            acc = ((acc[0] + int(c)) % P, acc[1])
+        assert (int(got[s, 0]), int(got[s, 1])) == acc
+    gotv = np.asarray(
+        jax.vmap(_open_columns, in_axes=(0, 0))(
+            jnp.asarray(coeffs[None]), jnp.asarray(zeta[None])
+        )
+    )
+    assert (gotv[0] == got).all()
+
+    m, ln = 13, 64  # odd m exercises the zero-row padding
+    mat = rng.integers(0, P, size=(m, ln), dtype=np.uint64)
+    pows = rng.integers(0, P, size=(m, 2), dtype=np.uint64)
+    got2 = np.asarray(_combine_columns(jnp.asarray(mat), jnp.asarray(pows)))
+    w0 = np.zeros(ln, dtype=object)
+    w1 = np.zeros(ln, dtype=object)
+    for i in range(m):
+        w0 = (w0 + mat[i].astype(object) * int(pows[i, 0])) % P
+        w1 = (w1 + mat[i].astype(object) * int(pows[i, 1])) % P
+    assert (got2[:, 0].astype(object) == w0).all()
+    assert (got2[:, 1].astype(object) == w1).all()
