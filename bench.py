@@ -222,6 +222,12 @@ def main():
     headline = run(["--tpu-worker", "--only-poseidon"], timeout=1500)
     # Stage 2: the wide metrics (NTT throughput, zkdsa proofs/s).
     lines = run(["--tpu-worker", "--skip-poseidon"])
+    if headline and not lines:
+        # stage 2 died/timed out after a healthy stage 1: the TPU is alive,
+        # so a full CPU fallback would mislabel the backend — flag it instead
+        print("# bench stage 2 (ntt/zkdsa) produced no metrics; "
+              "headline is TPU-measured but wide metrics are missing",
+              file=sys.stderr, flush=True)
     lines += headline  # headline LAST: the driver tail-parses it
     if not any("poseidon_permutations_per_s" in l for l in lines):
         env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}

@@ -10,15 +10,22 @@ and every warm run starts from disk in seconds.
 
 Enabled by pointing ``INTMAX_TPU_CIRCUIT_CACHE`` at a directory (callers
 can also pass ``cache_dir``).  Cache keys must capture everything that
-changes the circuit: callers pass a descriptive name plus the config; the
-stored circuit digest is verified on load, so a stale file with a
-colliding key fails loudly rather than proving against the wrong circuit.
+changes the circuit: callers pass a descriptive name plus the config, and
+the block builder folds the inner circuits' digests into the name.  The
+payload is framed with its sha256, verified on load, so a truncated or
+corrupted file fails loudly instead of deserializing garbage.  The format
+is pickle: this is a LOCAL build cache (same trust domain as the source
+tree), never a channel for circuits from elsewhere — a verifier never
+reads it, and a mismatched circuit yields proofs the verifier rejects.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import pickle
+
+_MAGIC = b"IZCT1\n"  # format tag; bump when the framing changes
 
 
 def cache_dir() -> str | None:
@@ -45,10 +52,23 @@ def load_or_build(name: str, config, build_fn, directory: str | None = None):
     path = os.path.join(directory, _key_of(name, config) + ".ckt")
     if os.path.exists(path):
         with open(path, "rb") as f:
-            return pickle.load(f)
+            magic = f.read(len(_MAGIC))
+            if magic == _MAGIC:
+                stored = f.read(32)
+                payload = f.read()
+                if hashlib.sha256(payload).digest() != stored:
+                    raise ValueError(
+                        f"circuit cache file {path} is corrupted "
+                        "(sha256 mismatch); delete it and rebuild"
+                    )
+                return pickle.loads(payload)
+        # unframed legacy file: ignore it and rebuild (overwritten below)
     circuit = build_fn()
+    payload = pickle.dumps(circuit, protocol=pickle.HIGHEST_PROTOCOL)
     tmp = path + f".tmp{os.getpid()}"
     with open(tmp, "wb") as f:
-        pickle.dump(circuit, f, protocol=pickle.HIGHEST_PROTOCOL)
+        f.write(_MAGIC)
+        f.write(hashlib.sha256(payload).digest())
+        f.write(payload)
     os.replace(tmp, path)
     return circuit

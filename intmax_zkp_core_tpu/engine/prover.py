@@ -122,7 +122,10 @@ def _open_columns(coeffs: jnp.ndarray, zeta: jnp.ndarray) -> jnp.ndarray:
     32768 sequential ones.  All arithmetic is exact mod p, so the result
     is bit-identical to Horner."""
     S, n = coeffs.shape
-    assert n & (n - 1) == 0, "column length must be a power of two"
+    if n & (n - 1) != 0:
+        # a bare assert is stripped under -O, and a non-power-of-two n
+        # would silently drop coefficients in the reshape fold below
+        raise ValueError(f"column length must be a power of two, got {n}")
     cur = jnp.stack([coeffs, jnp.zeros_like(coeffs)], axis=-1)  # [S, n, 2]
     z = zeta  # [2], then z^2, z^4, ... per fold
     while cur.shape[1] > 1:
