@@ -1,4 +1,4 @@
-"""Radix-2 NTT / inverse NTT / coset LDE over Goldilocks on TPU (JAX).
+"""NTT / inverse NTT / coset LDE over Goldilocks on TPU (JAX).
 
 This is the polynomial engine under the prover's commitments and quotient
 (the work plonky2 does in its ``fft``/``coset_fft`` during
@@ -7,11 +7,27 @@ This is the polynomial engine under the prover's commitments and quotient
 TPU-native design
 -----------------
 * Batch-first layout ``[batch, n]``: many polynomials transform at once
-  (wire columns, quotient chunks), so every butterfly stage is a fully
-  vectorized elementwise op over the VPU — no scalar loops, no dynamic
-  shapes; the stage loop unrolls at trace time (log2(n) stages).
-* Twiddle tables are precomputed per size on host (numpy, exact ints) and
-  closed over as constants; XLA hoists them to device once.
+  (wire columns, quotient chunks), so every stage is a fully vectorized
+  elementwise op over the VPU — no scalar loops, no dynamic shapes; the
+  level recursion unrolls at trace time.
+* **Gather-free Stockham radix-4** (the TPU default): no bit-reversal
+  permutation anywhere — on TPU the size-n random gather alone cost more
+  than the rest of the transform (22.5 ms of a 28 ms 2^20 NTT, measured
+  v5e; docs/perf_notes.md).  Each pass views the state as ``[A, 4, B]``
+  (A = digits already produced, B = remaining block), does the radix-4
+  DFT on the middle axis (one field mul per 4 points: w4^2 = -1), applies
+  the pass twiddle, and PREPENDS the new output digit by swapping the two
+  leading axes — a relayout with contiguous length-B row blocks, which
+  XLA's tiled transpose handles, unlike a gather.  After the last pass
+  the digits sit in natural order by construction.  The per-pass twiddle
+  w^{i2·k1} is applied as two factored rank-1 tables (w^{i2·k1} =
+  T_hi[k1, i2//S] · T_lo[k1, i2%S]) so closed-over constants stay a few
+  KB — multi-megabyte baked literals OOM the remote compile helper.
+  Measured v5e: 444 ntt/s at 2^20 (batch 2) vs 35.4/s for the round-2
+  radix-2 kernel — 12.6x.
+* The pre-rework radix-2 stage kernel is kept as ``INTMAX_TPU_NTT=stages``
+  (and stays the CPU default — host gathers are cheap and it does fewer
+  muls); both are exact mod p and bit-identical.
 * Multi-chip scaling shards the batch axis (embarrassingly parallel) and,
   for single huge polynomials, the four-step algorithm in
   ``parallel/ntt_sharded.py`` turns one size-n NTT into two batched
@@ -23,6 +39,7 @@ canonical 2^k-th root of unity, natural order; NTT(a)[i] = sum_j a_j w^(ij).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import numpy as np
@@ -32,6 +49,97 @@ import jax.numpy as jnp
 from . import goldilocks as gl
 
 P = gl.P_INT
+
+# "stockham" | "stages" | "auto" (stages on CPU — cheap gathers, fewer
+# muls; stockham on TPU where the size-n gather is the dominant cost)
+_NTT_MODE = os.environ.get("INTMAX_TPU_NTT", "auto")
+
+
+def _mode() -> str:
+    if _NTT_MODE != "auto":
+        return _NTT_MODE
+    return "stages" if jax.default_backend() == "cpu" else "stockham"
+
+
+@lru_cache(maxsize=64)
+def _root_scalar(log_n: int, inverse: bool) -> int:
+    w = gl.primitive_root_of_unity(log_n)
+    return pow(w, P - 2, P) if inverse else w
+
+
+@lru_cache(maxsize=128)
+def _twiddle_factored(log_n: int, log_n1: int, inverse: bool):
+    """Rank-1 factorization of the four-step twiddle w^{i2*k1} for the
+    split n = n1*n2: returns (t_hi [n1, n2//S], t_lo [n1, S], S) numpy
+    tables with w^{i2*k1} = t_hi[k1, i2//S] * t_lo[k1, i2%S]."""
+    n1 = 1 << log_n1
+    log_n2 = log_n - log_n1
+    n2 = 1 << log_n2
+    s_log = log_n2 // 2
+    S = 1 << s_log
+    w = _root_scalar(log_n, inverse)
+    t_lo = np.empty((n1, S), dtype=np.uint64)
+    t_hi = np.empty((n1, n2 >> s_log), dtype=np.uint64)
+    for k1 in range(n1):
+        base = pow(w, k1, P)           # w^{k1}
+        base_hi = pow(base, S, P)      # w^{S*k1}
+        acc = 1
+        for j in range(S):
+            t_lo[k1, j] = acc
+            acc = acc * base % P
+        acc = 1
+        for j in range(n2 >> s_log):
+            t_hi[k1, j] = acc
+            acc = acc * base_hi % P
+    return t_hi, t_lo, S
+
+
+def _dft4_axis(parts, inverse: bool, axis: int):
+    """Radix-4 DFT of 4 equal-shape arrays (one field mul per 4 points:
+    w4^2 = -1, so only the odd-difference term needs a multiply)."""
+    x0, x1, x2, x3 = parts
+    w4 = jnp.uint64(_root_scalar(2, inverse))
+    a = gl.add(x0, x2)
+    b = gl.sub(x0, x2)
+    c = gl.add(x1, x3)
+    d = gl.mul(gl.sub(x1, x3), w4)
+    return jnp.stack(
+        [gl.add(a, c), gl.add(b, d), gl.sub(a, c), gl.sub(b, d)], axis=axis
+    )
+
+
+def _ntt_stockham(x: jax.Array, log_n: int, inverse: bool) -> jax.Array:
+    """Natural-order DFT along the last axis: Stockham-style passes, each
+    prepending its output digit to the already-produced digits, so the
+    final pass leaves natural order with no permutation step.  An odd
+    log_n takes one radix-2 pass first, then radix-4 all the way down."""
+    bshape = x.shape[:-1]
+    n = 1 << log_n
+    A = 1
+    cur = x.reshape(bshape + (1, n))
+    rem = log_n
+    while rem > 0:
+        r_log = 1 if rem % 2 else 2
+        r = 1 << r_log
+        B = (1 << rem) // r
+        xm = cur.reshape(bshape + (A, r, B))
+        if r == 2:
+            e, o = xm[..., 0, :], xm[..., 1, :]
+            Y = jnp.stack([gl.add(e, o), gl.sub(e, o)], axis=-2)
+        else:
+            Y = _dft4_axis([xm[..., i, :] for i in range(4)], inverse, axis=-2)
+        if rem > r_log:
+            t_hi, t_lo, S = _twiddle_factored(rem, r_log, inverse)
+            Yr = Y.reshape(bshape + (A, r, B // S, S))
+            Y = gl.mul(
+                gl.mul(Yr, jnp.asarray(t_hi)[:, :, None]),
+                jnp.asarray(t_lo)[:, None, :],
+            ).reshape(bshape + (A, r, B))
+        Y = jnp.swapaxes(Y, -3, -2)  # prepend the new digit: [A, r, B] -> [r, A, B]
+        A *= r
+        rem -= r_log
+        cur = Y.reshape(bshape + (A, B))
+    return cur.reshape(bshape + (n,))
 
 
 @lru_cache(maxsize=40)
@@ -59,10 +167,23 @@ def _twiddle_tables(log_n: int, inverse: bool):
 
 
 def _ntt_impl(a: jax.Array, inverse: bool) -> jax.Array:
+    n = a.shape[-1]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n, "length must be a power of two"
+    if _mode() == "stockham":
+        x = _ntt_stockham(a, log_n, inverse)
+        if inverse:
+            x = gl.mul(x, jnp.uint64(pow(n, P - 2, P)))
+        return x
+    return _ntt_stages(a, inverse)
+
+
+def _ntt_stages(a: jax.Array, inverse: bool) -> jax.Array:
+    """Pre-rework radix-2 stage kernel (bit-reversal gather + per-stage
+    concatenate); kept for A/B measurement via INTMAX_TPU_NTT=stages."""
     orig_shape = a.shape
     n = orig_shape[-1]
     log_n = n.bit_length() - 1
-    assert 1 << log_n == n, "length must be a power of two"
     rev, tables = _twiddle_tables(log_n, inverse)
     x = a[..., jnp.asarray(rev)]
     for s in range(1, log_n + 1):
