@@ -189,14 +189,17 @@ def _commit(matrix, rate_bits: int, cap_height: int, from_coeffs: bool = False,
 
     Inside a ``parallel.mesh.use_commit_mesh`` context, LDEs of at least
     ``SHARD_COMMIT_MIN_LDE`` points are computed with the four-step
-    all-to-all NTT sharded over the mesh (SURVEY §2.3 intra-op axis) —
-    bit-identical to the single-device kernel."""
+    all-to-all NTT sharded over the mesh (SURVEY §2.3 intra-op axis), and
+    the Merkle levels stay sharded through leaf hashing and folding with
+    only the d block roots crossing the interconnect
+    (parallel/merkle_sharded.py) — bit-identical to the single-device
+    kernel either way."""
     if from_coeffs:
         coeffs = jnp.asarray(matrix)
     else:
         coeffs = nt.intt(jnp.asarray(matrix))
     lde = _coset_lde_maybe_sharded(coeffs, rate_bits)
-    levels_dev = mk.build_merkle_levels(jnp.transpose(lde), cap_height)
+    levels_dev = _build_levels_maybe_sharded(jnp.transpose(lde), cap_height)
     fetched = mk.fetch_arrays(lde, *extras, *levels_dev)
     lde_np = fetched[0]
     extras_np = tuple(fetched[1 : 1 + len(extras)])
@@ -219,6 +222,27 @@ def _coset_lde_maybe_sharded(coeffs, rate_bits: int):
             out = coset_lde_sharded(flat, rate_bits, mesh, axis_name=axis_name)
             return out.reshape(coeffs.shape[:-1] + (lde_n,))
     return nt.coset_lde(coeffs, rate_bits)
+
+
+def _build_levels_maybe_sharded(leaves, cap_height: int):
+    """Merkle levels for [n, w] leaf rows: sharded over the active commit
+    mesh when the leaf count warrants it (same threshold as the LDE — the
+    leaves ARE the sharded LDE's rows), single-device otherwise."""
+    from ..parallel.mesh import commit_mesh
+
+    mesh, axis_name = commit_mesh()
+    n = leaves.shape[0]
+    if mesh is not None and n >= SHARD_COMMIT_MIN_LDE:
+        from ..parallel.merkle_sharded import (
+            build_merkle_levels_sharded,
+            can_shard_tree,
+        )
+
+        if can_shard_tree(n, mesh.shape[axis_name], cap_height):
+            return build_merkle_levels_sharded(
+                leaves, cap_height, mesh, axis_name=axis_name
+            )
+    return mk.build_merkle_levels(leaves, cap_height)
 
 
 def _cap_tuples(tree: mk.MerkleTree) -> list:
@@ -407,8 +431,11 @@ def get_circuit_kernels(pd):
 
     def _wrap(f, name):
         # the FRI blowup shapes the kernel but is not recoverable from arg
-        # shapes alone — it must ride in the AOT cache key
-        return AotJit(f, name, extra=f"b{cfg.fri.blowup}") if use_jit else f
+        # shapes alone — it must ride in the AOT cache key.  "ntt2": the
+        # mixed-radix NTT rework changed the graphs embedding intt, and the
+        # AOT key does not hash the jaxpr — stale executables would silently
+        # keep the old kernel
+        return AotJit(f, name, extra=f"b{cfg.fri.blowup}-ntt2") if use_jit else f
 
     perm_quotient_fn = _wrap(perm_quotient_part, "perm_quotient")
     finish_fn = _wrap(quotient_finish, "quotient_finish")

@@ -85,16 +85,48 @@ def test_coset_lde_sharded_matches_single_device():
         assert (evals == np.asarray(nt.ntt(a))).all()
 
 
+def test_merkle_levels_sharded_bitwise_identical():
+    """The mesh-sharded Merkle builder (local subtree hashing + one [d, 4]
+    block-root all_gather) reproduces every level of the single-device
+    builder bit for bit, and its big levels actually COME BACK SHARDED over
+    the mesh axis — the collective path is exercised, not gathered away."""
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+    from intmax_zkp_core_tpu.ops import merkle as mk
+    from intmax_zkp_core_tpu.parallel.merkle_sharded import (
+        build_merkle_levels_sharded,
+        can_shard_tree,
+    )
+
+    mesh = make_mesh(8)
+    for n, w, cap_height in [(256, 7, 1), (128, 4, 3), (64, 9, 4)]:
+        # cap_height 1 < log2(d): exercises the replicated top levels;
+        # cap_height >= log2(d): all levels sharded, no collective at all
+        assert can_shard_tree(n, 8, cap_height)
+        leaves = jnp.asarray(RNG.integers(0, P, size=(n, w), dtype=np.uint64))
+        want = [np.asarray(l) for l in mk.build_merkle_levels(leaves, cap_height)]
+        got = build_merkle_levels_sharded(leaves, cap_height, mesh)
+        assert len(got) == len(want)
+        for lw, lg in zip(want, got):
+            assert (np.asarray(lg) == lw).all(), (n, cap_height, lw.shape)
+        # sharding check: the leaf-digest level is row-sharded, not gathered
+        assert got[0].sharding == NamedSharding(mesh, PSpec("d", None)), (
+            got[0].sharding
+        )
+
+
 def test_sharded_commit_prove_bitwise_identical(monkeypatch):
     """A full single-proof ``prove`` whose commitments run the mesh-sharded
     LDE (``use_commit_mesh`` + forced-low size threshold) emits a proof
-    bit-identical to the plain single-device prover."""
+    bit-identical to the plain single-device prover, and the sharded
+    Merkle-tree path is actually exercised inside ``_commit``."""
     from intmax_zkp_core_tpu.engine import prover as prover_mod
     from intmax_zkp_core_tpu.engine.config import CircuitConfig, FriConfig
     from intmax_zkp_core_tpu.engine.witness import PartialWitness
     from intmax_zkp_core_tpu.models.zkdsa.circuits import (
         make_simple_signature_circuit,
     )
+    from intmax_zkp_core_tpu.parallel import merkle_sharded
     from intmax_zkp_core_tpu.parallel.mesh import use_commit_mesh
     from intmax_zkp_core_tpu.utils.hash_out import HashOut
 
@@ -107,8 +139,12 @@ def test_sharded_commit_prove_bitwise_identical(monkeypatch):
 
     monkeypatch.setattr(prover_mod, "SHARD_COMMIT_MIN_LDE", 1)
     mesh = make_mesh(8)
+    calls_before = merkle_sharded.SHARDED_TREE_CALLS
     with use_commit_mesh(mesh):
         sharded = circ.data.prove(pw)
+    assert merkle_sharded.SHARDED_TREE_CALLS > calls_before, (
+        "sharded Merkle path was not taken"
+    )
     assert sharded == plain
     circ.data.verify(sharded)
 
