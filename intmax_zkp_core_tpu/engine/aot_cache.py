@@ -20,8 +20,12 @@ Safety rails:
 * disabled on the CPU backend by default (XLA:CPU AOT artifacts are
   machine-feature-sensitive; opt in with ``INTMAX_TPU_AOT_CPU=1`` — used
   by the test suite) and entirely with ``INTMAX_TPU_AOT=0``;
-* sharded (mesh) call sites bypass the cache — a serialized executable
-  bakes its device assignment.
+* sharded (mesh) call sites are supported: a serialized executable bakes
+  its device assignment, so each argument's sharding (axis spec + device
+  ids) rides in the cache key — a warm mesh process with the same
+  topology reloads the sharded executable, a different assignment misses
+  and compiles fresh.  This is what lets multi-chip ``prove_batch`` skip
+  per-process re-tracing (round-2 weak #3).
 
 Corrupt or stale cache files fall back to a fresh trace+compile.
 """
@@ -53,6 +57,26 @@ def cache_dir() -> str:
     )
 
 
+def _sharding_key(leaf) -> str:
+    """Stable description of a leaf's sharding for the cache key: the axis
+    spec plus the concrete device assignment (a serialized executable is
+    only valid for the assignment it was compiled with).  Committed/numpy
+    leaves without a sharding key as '' (single-device default)."""
+    s = getattr(leaf, "sharding", None)
+    if s is None:
+        return ""
+    try:
+        ids = ",".join(str(d.id) for d in s._device_assignment)
+    except Exception:
+        try:
+            ids = ",".join(str(d.id) for d in sorted(s.device_set, key=lambda d: d.id))
+        except Exception:
+            ids = "?"
+    if getattr(s, "is_fully_replicated", False) and ids in ("0", "?"):
+        return ""  # plain single-device placement == no sharding
+    return f"{s}|{ids}"
+
+
 class AotJit:
     """Drop-in for ``jax.jit(fn)`` with a disk-backed executable cache."""
 
@@ -67,7 +91,9 @@ class AotJit:
             return self._jit(*args)
         leaves = jax.tree_util.tree_leaves(args)
         try:
-            shapes = tuple((tuple(l.shape), str(l.dtype)) for l in leaves)
+            shapes = tuple(
+                (tuple(l.shape), str(l.dtype), _sharding_key(l)) for l in leaves
+            )
         except AttributeError:  # non-array leaf: let jit handle it
             return self._jit(*args)
         entry = self._compiled.get(shapes)

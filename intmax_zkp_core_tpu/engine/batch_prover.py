@@ -142,7 +142,10 @@ def prove_batch(
     kernels = get_circuit_kernels(pd)
     intern = kernels["_internals"]
     use_jit = intern["use_jit"] or mesh is not None
-    aot = mesh is None  # serialized executables bake device assignment
+    # mesh runs use the AOT executable cache too: each argument's sharding
+    # (axis spec + device assignment) rides in the cache key, so a warm
+    # process with the same topology skips re-tracing (aot_cache.py)
+    aot = True
 
     if mesh is not None:
         d = mesh.shape[axis_name]
@@ -259,7 +262,7 @@ def prove_batch(
         )
     finish_batch = _vmapped(
         "finish", intern["quotient_finish"], (0, None, None),
-        use_jit, aot, extra=f"b{fri_cfg.blowup}",
+        use_jit, aot, extra=f"b{fri_cfg.blowup}-ntt2",  # embeds intt: see prover._wrap
     )
     quotient_matrices_dev = finish_batch(acc, intern["z_h"], intern["shift_pows"])
     quot_coeffs_dev, quot_lde_dev, quot_lde, quotient_trees, _ = _commit_batch(
@@ -392,7 +395,9 @@ def prove_batch(
     # final polynomial per proof: both extension components for all K
     # proofs in one coset_ilde call
     flat = jnp.concatenate([cur[:, :, 0], cur[:, :, 1]], axis=0)  # [2K, final_n]
-    final_coeffs = np.asarray(nt.coset_ilde(flat, fri_cfg.rate_bits, cur_shift))
+    # fetch_arrays, not np.asarray: on a multi-process mesh the folded
+    # layers are globally sharded and need a process_allgather
+    final_coeffs = mk.fetch_arrays(nt.coset_ilde(flat, fri_cfg.rate_bits, cur_shift))[0]
     final_polys = []
     for k in range(K):
         fp = [

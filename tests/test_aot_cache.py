@@ -59,6 +59,40 @@ def test_aot_corrupt_file_falls_back(aot_env):
     assert (out == ref).all()
 
 
+def test_aot_sharded_entries(aot_env):
+    """Mesh-sharded calls get their own cache entries (keyed by sharding +
+    device assignment) and a fresh instance reloads the SHARDED executable
+    from disk without re-tracing — the multi-chip warm-start path."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+    from intmax_zkp_core_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    x = jnp.arange(64, dtype=jnp.uint64)
+    y = jnp.ones(64, dtype=jnp.uint64)
+    xs = jax.device_put(x, NamedSharding(mesh, PSpec("d")))
+    ys = jax.device_put(y, NamedSharding(mesh, PSpec("d")))
+
+    a = AotJit(_fn, "t_sharded")
+    plain = np.asarray(a(x, y))
+    sharded = np.asarray(a(xs, ys))
+    assert (plain == sharded).all()
+    files = list(aot_env.glob("*.aotx"))
+    assert len(files) == 2, "sharded call must get its own entry"
+
+    # fresh instance: the sharded entry must come FROM DISK (no trace)
+    b = AotJit(_fn, "t_sharded")
+    shapes = tuple(
+        (tuple(l.shape), str(l.dtype), aot_cache._sharding_key(l))
+        for l in (xs, ys)
+    )
+    comp, from_disk, _ = b._load_or_compile_inner(shapes, (xs, ys))
+    assert from_disk, "sharded executable was not reloaded from disk"
+    out = np.asarray(jax.block_until_ready(comp(xs, ys)))
+    assert (out == plain).all()
+
+
 def test_aot_disabled_paths(tmp_path, monkeypatch):
     # CPU backend without the opt-in: nothing written
     monkeypatch.delenv("INTMAX_TPU_AOT_CPU", raising=False)
