@@ -32,6 +32,17 @@ def fetch_arrays(*arrs) -> list:
     and read back with a single transfer, then split/reshaped on host.  On
     the CPU backend transfers are free, so the concat copy is skipped.
     """
+    if any(not getattr(a, "is_fully_addressable", True) for a in arrs):
+        # multi-process mesh: some shards live on other processes'
+        # devices, so a plain np.asarray raises.  process_allgather
+        # assembles the GLOBAL value on every process (each host then
+        # runs the same transcript on identical data — SPMD).
+        from jax.experimental import multihost_utils
+
+        return [
+            np.asarray(multihost_utils.process_allgather(a, tiled=True))
+            for a in arrs
+        ]
     if jax.default_backend() == "cpu" or len(arrs) == 1:
         return [np.asarray(a) for a in arrs]
     flat = jnp.concatenate([jnp.ravel(a) for a in arrs])

@@ -44,7 +44,12 @@ def init_distributed(coordinator_address: str | None = None,
 
     No-op when jax.distributed is already initialized (safe to call from
     library code); single-process runs simply get the local-device mesh.
+    NOTE: like ``jax.distributed.initialize`` itself, this must run before
+    any JAX computation touches a backend — call it first thing in the
+    program (the 2-process pytest, tests/distributed_worker.py, is the
+    executable example).
     """
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -52,6 +57,10 @@ def init_distributed(coordinator_address: str | None = None,
             process_id=process_id,
         )
     except RuntimeError:
+        if explicit:
+            # the caller named a coordinator: silently proving on a local
+            # mesh instead of the global one would be wrong — surface it
+            raise
         # already initialized (or single-process without coordinator info):
         # fall through to the device mesh over whatever is visible
         pass
