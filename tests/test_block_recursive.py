@@ -191,3 +191,20 @@ def test_batch_circuit_proves_one_block(recursive_block_proof):
     batch.set_witness(pw, [block_proof.proof])
     batch_proof = batch_data.prove(pw)
     batch_data.verify(batch_proof)
+
+
+def test_batch_circuit_pads_disabled_slot(recursive_block_proof):
+    """n_blocks=2 batch fed ONE real block proof: the unused slot is padded
+    with the last proof, disabled — the reference's padding rule
+    (``rollup/gadgets/batch/mod.rs:16-56``; disabled proofs are still valid
+    default proofs, ``recursion/gadgets/mod.rs:105-127``)."""
+    block_circuit, block_proof = recursive_block_proof
+    builder = CircuitBuilder(CFG)
+    batch = BlockBatchTarget.add_virtual_to(builder, block_circuit.data, 2)
+    batch_data = builder.build()
+    pw = PartialWitness()
+    batch.set_witness(pw, [block_proof.proof])  # slot 2: padded, disabled
+    enabled = [pw.values[t.enabled.target] for t in batch.block_proofs]
+    assert enabled == [1, 0]
+    batch_proof = batch_data.prove(pw)
+    batch_data.verify(batch_proof)
