@@ -21,6 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import limb64 as limb
 from .poseidon_constants import (
     ALL_ROUND_CONSTANTS,
     HALF_N_FULL_ROUNDS,
@@ -37,117 +38,71 @@ _RC_HI = np.array(ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(N_ROUNDS, 12) >>
 _RC_LO = _RC_LO.astype(np.uint32)
 _RC_HI = _RC_HI.astype(np.uint32)
 
+# Row-form MDS matrix for the MXU path: value[r] = sum_i M[r, i] * state[i]
+# with M[r, i] = circ[(i - r) % 12] and the diagonal term folded into M[0, 0].
+_MDS_M = np.zeros((12, 12), dtype=np.float32)
+for _r in range(12):
+    for _i in range(12):
+        _MDS_M[_r, _i] = MDS_MATRIX_CIRC[(_i - _r) % 12]
+_MDS_M[0, 0] += MDS_MATRIX_DIAG[0]
 
-def _make_permute_body():
+
+def _mxu_enabled() -> bool:
+    import os
+
+    return os.environ.get("INTMAX_TPU_POSEIDON_MXU") == "1"
+
+
+def _make_permute_body(mxu_mds: bool | None = None):
     """Returns ``permute_tile(lo, hi, rc_lo, rc_hi) -> (lo, hi)``: the full
     30-round permutation over [12, TB] u32 limb planes, shared by the plain
-    permutation kernel and the fused sponge kernel."""
+    permutation kernel and the fused sponge kernel.
+
+    ``mxu_mds``: route the MDS layer over the MXU as an exact
+    bf16xbf16->f32 matmul on 8-bit limb planes (matrix entries <= 49 and
+    limbs <= 255 are exact in bf16; column sums <= 264*255 < 2^17 are
+    exact in f32), freeing the VPU of the per-term multiply-accumulate
+    carry chains.  When enabled, ``permute_tile`` takes a fifth argument:
+    the [12, 12] bf16 MDS matrix (Mosaic kernels cannot capture array
+    constants).  Defaults to the INTMAX_TPU_POSEIDON_MXU env switch (off
+    unless set to 1)."""
+    import os
+
+    if mxu_mds is None:
+        mxu_mds = os.environ.get("INTMAX_TPU_POSEIDON_MXU") == "1"
     u32 = jnp.uint32
-
-    def add64(alo, ahi, blo, bhi):
-        lo = alo + blo
-        carry = (lo < alo).astype(u32)
-        hi = ahi + bhi + carry
-        return lo, hi
-
-    def sub64(alo, ahi, blo, bhi):
-        lo = alo - blo
-        borrow = (alo < blo).astype(u32)
-        hi = ahi - bhi - borrow
-        return lo, hi
-
-    def mul32x32(a, b):
-        """32x32 -> (lo32, hi32) via 16-bit partials."""
-        a0 = a & u32(0xFFFF)
-        a1 = a >> u32(16)
-        b0 = b & u32(0xFFFF)
-        b1 = b >> u32(16)
-        ll = a0 * b0
-        lh = a0 * b1
-        hl = a1 * b0
-        hh = a1 * b1
-        # mid = lh + hl (may carry into bit 32)
-        mid = lh + hl
-        midc = (mid < lh).astype(u32)
-        lo = ll + (mid << u32(16))
-        loc = (lo < ll).astype(u32)
-        hi = hh + (mid >> u32(16)) + (midc << u32(16)) + loc
-        return lo, hi
-
-    def add_canon(alo, ahi, blo, bhi):
-        """(a + b) mod p for canonical a, b."""
-        lo, hi = add64(alo, ahi, blo, bhi)
-        overflow = (hi < ahi) | ((hi == ahi) & (lo < alo))
-        # + EPSILON (2^32 - 1) where wrapped
-        eps = jnp.where(overflow, u32(0xFFFFFFFF), u32(0))
-        lo2 = lo + eps
-        hi2 = hi + (lo2 < lo).astype(u32)
-        # conditional subtract p   (p = [1, 0xFFFFFFFF])
-        ge_p = (hi2 == u32(0xFFFFFFFF)) & (lo2 >= u32(1))
-        lo3 = jnp.where(ge_p, lo2 - u32(1), lo2)
-        hi3 = jnp.where(ge_p, hi2 - u32(0xFFFFFFFF), hi2)
-        return lo3, hi3
-
-    def reduce128(n0, n1, n2, n3):
-        """(n3*2^96 + n2*2^64 + n1*2^32 + n0) mod p using
-        2^64 = 2^32 - 1, 2^96 = -1."""
-        # t = lo64 - n3  (64-bit subtract (lo,hi) - (n3,0))
-        lo, hi = n0, n1
-        lo1 = lo - n3
-        b0 = (lo < n3).astype(u32)
-        hi1 = hi - b0
-        underflow = (hi < b0)
-        # if underflow: subtract EPSILON (i.e. add -2^64 mod p = -(2^32-1))
-        eps = jnp.where(underflow, u32(0xFFFFFFFF), u32(0))
-        lo2 = lo1 - eps
-        b1 = (lo1 < eps).astype(u32)
-        hi2 = hi1 - b1
-        # t1 = n2 * EPSILON = (n2 << 32) - n2 : as 64-bit: lo = -n2 (wrap), hi = n2 - 1 + borrow-adjust
-        t1lo = u32(0) - n2
-        t1hi = jnp.where(n2 == u32(0), u32(0), n2 - u32(1))
-        # t2 = t + t1 with 2^64 wrap compensation (+EPSILON on overflow)
-        lo3, hi3 = add64(lo2, hi2, t1lo, t1hi)
-        overflow = (hi3 < hi2) | ((hi3 == hi2) & (lo3 < lo2))
-        eps2 = jnp.where(overflow, u32(0xFFFFFFFF), u32(0))
-        lo4 = lo3 + eps2
-        hi4 = hi3 + (lo4 < lo3).astype(u32)
-        ge_p = (hi4 == u32(0xFFFFFFFF)) & (lo4 >= u32(1))
-        lo5 = jnp.where(ge_p, lo4 - u32(1), lo4)
-        hi5 = jnp.where(ge_p, hi4 - u32(0xFFFFFFFF), hi4)
-        return lo5, hi5
-
-    def mul_mod(alo, ahi, blo, bhi):
-        """full 64x64 -> 128 via four 32x32, then reduce."""
-        ll_lo, ll_hi = mul32x32(alo, blo)
-        lh_lo, lh_hi = mul32x32(alo, bhi)
-        hl_lo, hl_hi = mul32x32(ahi, blo)
-        hh_lo, hh_hi = mul32x32(ahi, bhi)
-        # n0 = ll_lo
-        # n1 = ll_hi + lh_lo + hl_lo  (carries into n2)
-        s1 = ll_hi + lh_lo
-        c1 = (s1 < ll_hi).astype(u32)
-        n1 = s1 + hl_lo
-        c2 = (n1 < s1).astype(u32)
-        # n2 = lh_hi + hl_hi + hh_lo + carries
-        s2 = lh_hi + hl_hi
-        c3 = (s2 < lh_hi).astype(u32)
-        n2 = s2 + hh_lo
-        c4 = (n2 < s2).astype(u32)
-        n2b = n2 + c1 + c2
-        c5 = (n2b < n2).astype(u32)
-        n3 = hh_hi + c3 + c4 + c5
-        return reduce128(ll_lo, n1, n2b, n3)
-
-    def sbox(lo, hi):
-        l2, h2 = mul_mod(lo, hi, lo, hi)
-        l3, h3 = mul_mod(l2, h2, lo, hi)
-        l6, h6 = mul_mod(l3, h3, l3, h3)
-        return mul_mod(l6, h6, lo, hi)
+    add_canon = limb.add_canon
+    mul32x32 = limb.mul32x32
+    reduce128 = limb.reduce128
+    sbox = limb.sbox7
 
     circ = MDS_MATRIX_CIRC
     diag0 = MDS_MATRIX_DIAG[0]
 
-    def permute_tile(lo, hi, rc_lo, rc_hi):
+    def mds_mxu(lo, hi, mds):
+        """M @ state on the MXU: 8 exact bf16 matmuls over 8-bit limb
+        planes, recombined into (n0, n1, n2) u32 limbs for reduce128."""
+        v = []
+        for src in (lo, hi):
+            for s in (0, 8, 16, 24):
+                # u32 -> i32 -> f32 -> bf16: Mosaic has neither u32->bf16
+                # nor u32->f32 casts; every hop is exact for values <= 255
+                plane = ((src >> u32(s)) & u32(0xFF)).astype(
+                    jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+                prod = jnp.dot(mds, plane, preferred_element_type=jnp.float32)
+                # f32 -> i32 -> u32 (values < 2^17, exact)
+                v.append(prod.astype(jnp.int32).astype(u32))
+        # value = sum_q w_q * 2^(16 q),  w_q = v[2q] + v[2q+1]*2^8 < 2^26
+        w = [v[2 * q] + (v[2 * q + 1] << u32(8)) for q in range(4)]
+        n0 = w[0] + ((w[1] & u32(0xFFFF)) << u32(16))
+        c0 = (n0 < w[0]).astype(u32)
+        mid = (w[1] >> u32(16)) + c0 + w[2]  # < 2^27, no overflow
+        n1 = mid + ((w[3] & u32(0xFFFF)) << u32(16))
+        c1 = (n1 < mid).astype(u32)
+        n2 = (w[3] >> u32(16)) + c1
+        return reduce128(n0, n1, n2, jnp.zeros_like(n2))
+
+    def permute_tile(lo, hi, rc_lo, rc_hi, mds=None):
         for rnd in range(N_ROUNDS):
             # constant layer
             rlo = rc_lo[rnd][:, None]
@@ -161,6 +116,9 @@ def _make_permute_body():
                 l0, h0 = sbox(lo[0:1], hi[0:1])
                 lo = jnp.concatenate([l0, lo[1:]], axis=0)
                 hi = jnp.concatenate([h0, hi[1:]], axis=0)
+            if mxu_mds:
+                lo, hi = mds_mxu(lo, hi, mds)
+                continue
             # MDS: accumulate products of small constants on 32-bit planes
             # value = sum_i c_i * state[(r+i) % 12]; accumulate lo/hi planes
             # in 64-bit-safe fashion: each c*lo < 2^38 -> need 64-bit accum;
@@ -206,45 +164,72 @@ def _make_permute_body():
     return permute_tile
 
 
-def _make_kernel(tb: int):
-    permute_tile = _make_permute_body()
+def _make_kernel(tb: int, mxu_mds: bool = False):
+    permute_tile = _make_permute_body(mxu_mds)
 
-    def kernel(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref, out_lo_ref, out_hi_ref):
-        lo, hi = permute_tile(lo_ref[:], hi_ref[:], rc_lo_ref[:], rc_hi_ref[:])
-        out_lo_ref[:] = lo
-        out_hi_ref[:] = hi
+    if mxu_mds:
+
+        def kernel(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref, mds_ref, out_lo_ref, out_hi_ref):
+            lo, hi = permute_tile(
+                lo_ref[:], hi_ref[:], rc_lo_ref[:], rc_hi_ref[:], mds_ref[:]
+            )
+            out_lo_ref[:] = lo
+            out_hi_ref[:] = hi
+
+    else:
+
+        def kernel(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref, out_lo_ref, out_hi_ref):
+            lo, hi = permute_tile(lo_ref[:], hi_ref[:], rc_lo_ref[:], rc_hi_ref[:])
+            out_lo_ref[:] = lo
+            out_hi_ref[:] = hi
 
     return kernel
 
 
-def _make_sponge_kernel(width: int):
+def _make_sponge_kernel(width: int, mxu_mds: bool = False):
     """Fused rate-8 overwrite-absorb sponge over [width, TB] input planes:
     the whole ceil(width/8)-permutation chain runs in VMEM, emitting only
     the 4 digest lanes (plonky2 hash_n_to_hash_no_pad semantics)."""
-    permute_tile = _make_permute_body()
+    permute_tile = _make_permute_body(mxu_mds)
 
-    def kernel(in_lo_ref, in_hi_ref, rc_lo_ref, rc_hi_ref, out_lo_ref, out_hi_ref):
-        rc_lo = rc_lo_ref[:]
-        rc_hi = rc_hi_ref[:]
-        in_lo = in_lo_ref[:]  # [width, TB]
-        in_hi = in_hi_ref[:]
+    def body(in_lo, in_hi, rc_lo, rc_hi, out_lo_ref, out_hi_ref, mds=None):
         lo = jnp.zeros((SPONGE_WIDTH,) + in_lo.shape[1:], dtype=jnp.uint32)
         hi = jnp.zeros_like(lo)
         for start in range(0, width, 8):
             c = min(8, width - start)
             lo = jnp.concatenate([in_lo[start : start + c], lo[c:]], axis=0)
             hi = jnp.concatenate([in_hi[start : start + c], hi[c:]], axis=0)
-            lo, hi = permute_tile(lo, hi, rc_lo, rc_hi)
+            lo, hi = permute_tile(lo, hi, rc_lo, rc_hi, mds)
         out_lo_ref[:] = lo[:4]
         out_hi_ref[:] = hi[:4]
+
+    if mxu_mds:
+
+        def kernel(in_lo_ref, in_hi_ref, rc_lo_ref, rc_hi_ref, mds_ref, out_lo_ref, out_hi_ref):
+            body(in_lo_ref[:], in_hi_ref[:], rc_lo_ref[:], rc_hi_ref[:],
+                 out_lo_ref, out_hi_ref, mds_ref[:])
+
+    else:
+
+        def kernel(in_lo_ref, in_hi_ref, rc_lo_ref, rc_hi_ref, out_lo_ref, out_hi_ref):
+            body(in_lo_ref[:], in_hi_ref[:], rc_lo_ref[:], rc_hi_ref[:],
+                 out_lo_ref, out_hi_ref)
 
     return kernel
 
 
-@partial(jax.jit, static_argnums=(1,))
-def hash_no_pad_pallas(inputs: jax.Array, interpret: bool = False) -> jax.Array:
+def hash_no_pad_pallas(inputs: jax.Array, interpret: bool = False,
+                       mxu: bool | None = None) -> jax.Array:
     """inputs [B, width] uint64 -> [B, 4] digests via the fused sponge
-    kernel (B must be a multiple of 256, width > 4)."""
+    kernel (B must be a multiple of 256, width > 4).  ``mxu`` routes the
+    MDS layers over the MXU (default: INTMAX_TPU_POSEIDON_MXU env)."""
+    if mxu is None:
+        mxu = _mxu_enabled()
+    return _hash_no_pad_pallas(inputs, interpret, mxu)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _hash_no_pad_pallas(inputs: jax.Array, interpret: bool, mxu: bool) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -255,24 +240,24 @@ def hash_no_pad_pallas(inputs: jax.Array, interpret: bool = False) -> jax.Array:
     lo = (st & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     hi = (st >> jnp.uint64(32)).astype(jnp.uint32)
 
-    kernel = _make_sponge_kernel(width)
+    kernel = _make_sponge_kernel(width, mxu)
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i: (jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((width, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((width, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
+        const_spec((N_ROUNDS, 12)),
+        const_spec((N_ROUNDS, 12)),
+    ]
+    operands = [lo, hi, jnp.asarray(_RC_LO), jnp.asarray(_RC_HI)]
+    if mxu:
+        in_specs.append(const_spec((12, 12)))
+        operands.append(jnp.asarray(_MDS_M, dtype=jnp.bfloat16))
     out_lo, out_hi = pl.pallas_call(
         kernel,
         grid=(B // TB,),
-        in_specs=[
-            pl.BlockSpec((width, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((width, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (N_ROUNDS, 12),
-                lambda i: (jnp.int32(0), jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (N_ROUNDS, 12),
-                lambda i: (jnp.int32(0), jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((4, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
@@ -282,16 +267,24 @@ def hash_no_pad_pallas(inputs: jax.Array, interpret: bool = False) -> jax.Array:
             jax.ShapeDtypeStruct((4, B), jnp.uint32),
         ],
         interpret=interpret,
-    )(lo, hi, jnp.asarray(_RC_LO), jnp.asarray(_RC_HI))
+    )(*operands)
     out = out_lo.astype(jnp.uint64) | (out_hi.astype(jnp.uint64) << jnp.uint64(32))
     return jnp.transpose(out)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def permute_pallas(states: jax.Array, interpret: bool = False) -> jax.Array:
+def permute_pallas(states: jax.Array, interpret: bool = False,
+                   mxu: bool | None = None) -> jax.Array:
     """states [B, 12] uint64 -> permuted [B, 12] uint64 via the Pallas
     kernel (B must be a multiple of 256).  ``interpret=True`` runs the
-    kernel in the Pallas interpreter (CPU test path)."""
+    kernel in the Pallas interpreter (CPU test path).  ``mxu`` routes the
+    MDS layers over the MXU (default: INTMAX_TPU_POSEIDON_MXU env)."""
+    if mxu is None:
+        mxu = _mxu_enabled()
+    return _permute_pallas(states, interpret, mxu)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _permute_pallas(states: jax.Array, interpret: bool, mxu: bool) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -302,24 +295,24 @@ def permute_pallas(states: jax.Array, interpret: bool = False) -> jax.Array:
     lo = (st & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     hi = (st >> jnp.uint64(32)).astype(jnp.uint32)
 
-    kernel = _make_kernel(TB)
+    kernel = _make_kernel(TB, mxu)
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i: (jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((12, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
+        const_spec((N_ROUNDS, 12)),
+        const_spec((N_ROUNDS, 12)),
+    ]
+    operands = [lo, hi, jnp.asarray(_RC_LO), jnp.asarray(_RC_HI)]
+    if mxu:
+        in_specs.append(const_spec((12, 12)))
+        operands.append(jnp.asarray(_MDS_M, dtype=jnp.bfloat16))
     out_lo, out_hi = pl.pallas_call(
         kernel,
         grid=(B // TB,),
-        in_specs=[
-            pl.BlockSpec((12, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (N_ROUNDS, 12),
-                lambda i: (jnp.int32(0), jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (N_ROUNDS, 12),
-                lambda i: (jnp.int32(0), jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((12, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
             pl.BlockSpec((12, TB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
@@ -329,6 +322,6 @@ def permute_pallas(states: jax.Array, interpret: bool = False) -> jax.Array:
             jax.ShapeDtypeStruct((12, B), jnp.uint32),
         ],
         interpret=interpret,
-    )(lo, hi, jnp.asarray(_RC_LO), jnp.asarray(_RC_HI))
+    )(*operands)
     out = out_lo.astype(jnp.uint64) | (out_hi.astype(jnp.uint64) << jnp.uint64(32))
     return jnp.transpose(out)

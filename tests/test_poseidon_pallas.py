@@ -44,6 +44,18 @@ def test_permute_auto_cpu_dispatch():
     assert (np.asarray(permute_auto(x)) == np.asarray(permute(x))).all()
 
 
+def test_pallas_mxu_mds_interpret_matches_scalar():
+    # the MXU MDS path (8-bit limb planes, bf16 matmul, f32 accumulate)
+    # must be bit-identical to the VPU accumulate path
+    rng = np.random.default_rng(17)
+    x = rng.integers(0, P, size=(256, 12), dtype=np.uint64)
+    x[0] = 0
+    x[1] = P - 1
+    out = np.asarray(permute_pallas(jnp.asarray(x), True, mxu=True))
+    for i in [0, 1, 2, 255]:
+        assert [int(v) for v in out[i]] == permute_s([int(v) for v in x[i]]), i
+
+
 def test_fused_sponge_kernel_interpret_matches_scalar():
     from intmax_zkp_core_tpu.ops.poseidon import hash_n_to_m_no_pad_s
     from intmax_zkp_core_tpu.ops.poseidon_pallas import hash_no_pad_pallas
