@@ -33,11 +33,19 @@ from ..ops import poseidon as ps
 from .algebra import ext_add, ext_mul
 from .challenger import Challenger
 from .circuit import CircuitData
-from .fri import FriProof, _fold_step, _inv_2x_table, grind_pow, query_rounds
+from .fri import (
+    FriProof,
+    _device_openings_enabled,
+    _fold_step,
+    _inv_2x_table,
+    grind_pow,
+    query_rounds,
+)
 from .prover import (
     Proof,
     _cap_tuples,
     _combine_columns,
+    _extract_initial_openings,
     _gate_quotient_chunk,
     _open_columns,
     compute_wire_matrix,
@@ -107,6 +115,20 @@ def _commit_batch(matrices, rate_bits: int, cap_height: int,
     lde = nt.coset_lde(coeffs, rate_bits)
     lde_k = lde.reshape(K, S, -1)
     levels_dev = mk.build_merkle_levels_batch(jnp.transpose(lde_k, (0, 2, 1)), cap_height)
+    if _device_openings_enabled() and getattr(lde_k, "is_fully_addressable", True):
+        # device-resident trees: fetch caps + extras only (see
+        # prover._commit); per-proof trees view the batched level arrays
+        fetched = mk.fetch_arrays(levels_dev[-1], *extras)
+        caps_np = fetched[0]  # [K, 2^h, 4]
+        trees = [
+            mk.DeviceMerkleTree(
+                levels_dev=[lv[k] for lv in levels_dev],
+                cap_height=cap_height,
+                cap_np=caps_np[k],
+            )
+            for k in range(K)
+        ]
+        return coeffs.reshape(K, S, n), lde_k, None, trees, tuple(fetched[1:])
     fetched = mk.fetch_arrays(lde_k, *extras, *levels_dev)
     lde_np = fetched[0]
     extras_np = tuple(fetched[1 : 1 + len(extras)])
@@ -380,9 +402,20 @@ def prove_batch(
         m = cur.shape[1]
         half = m // 2
         leaf = jnp.concatenate([cur[:, :half], cur[:, half:]], axis=2)  # [K, half, 4]
-        layer_trees = mk.build_merkle_trees_batch(
-            leaf, min(fri_cfg.cap_height, (half - 1).bit_length())
-        )
+        cap_h = min(fri_cfg.cap_height, (half - 1).bit_length())
+        if _device_openings_enabled() and getattr(leaf, "is_fully_addressable", True):
+            lv_dev = mk.build_merkle_levels_batch(leaf, cap_h)
+            caps_np = mk.fetch_arrays(lv_dev[-1])[0]
+            layer_trees = [
+                mk.DeviceMerkleTree(
+                    levels_dev=[lv[k] for lv in lv_dev],
+                    cap_height=cap_h,
+                    cap_np=caps_np[k],
+                )
+                for k in range(K)
+            ]
+        else:
+            layer_trees = mk.build_merkle_trees_batch(leaf, cap_h)
         layer_betas = np.empty((K, 2), dtype=np.uint64)
         for k, ch in enumerate(challengers):
             trees_per[k].append(layer_trees[k])
@@ -413,19 +446,15 @@ def prove_batch(
         pow_witness = grind_pow(ch, fri_cfg.proof_of_work_bits)
         indices, rounds = query_rounds(trees_per[k], fri_cfg, ch, lde_n)
         named_trees = {
-            "constants_sigmas": (pd.cs_lde, pd.cs_tree),
-            "wires": (wire_lde[k], wires_trees[k]),
-            "zs_pp": (zspp_lde[k], zs_pp_trees[k]),
-            "quotient": (quot_lde[k], quotient_trees[k]),
+            "constants_sigmas": (None, pd.cs_lde, pd.cs_tree),
+            "wires": (wire_lde_dev[k], None if wire_lde is None else wire_lde[k],
+                      wires_trees[k]),
+            "zs_pp": (zspp_lde_dev[k], None if zspp_lde is None else zspp_lde[k],
+                      zs_pp_trees[k]),
+            "quotient": (quot_lde_dev[k], None if quot_lde is None else quot_lde[k],
+                         quotient_trees[k]),
         }
-        initial_openings = []
-        for idx in indices:
-            per = {}
-            for name, (lde, tree) in named_trees.items():
-                leaf = [int(x) for x in lde[:, idx]]
-                path = [tuple(int(x) for x in d) for d in tree.prove(idx)]
-                per[name] = (leaf, path)
-            initial_openings.append(per)
+        initial_openings = _extract_initial_openings(named_trees, indices)
         proofs.append(
             Proof(
                 wires_cap=_cap_tuples(wires_trees[k]),

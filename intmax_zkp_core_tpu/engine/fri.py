@@ -79,6 +79,17 @@ from .aot_cache import AotJit as _AotJit
 
 _fold_step_aot = _AotJit(_fold_step, "fold_step")
 
+import os
+
+
+def _device_openings_enabled() -> bool:
+    """Keep commitment trees device-resident and gather only query-touched
+    digests (default).  A proof reads a few KB of any tree; fetching full
+    layer tables costs seconds-to-minutes through the tunnel
+    (docs/perf_notes.md round 3).  INTMAX_TPU_DEVICE_OPENINGS=0 restores
+    the fetch-everything path."""
+    return os.environ.get("INTMAX_TPU_DEVICE_OPENINGS", "1") == "1"
+
 
 def fold_layers(evals: jnp.ndarray, shift: int, cfg: FriConfig, challenger: Challenger):
     """Commit phase.  evals: [N, 2] ext values on coset shift*<w_N>.
@@ -99,7 +110,11 @@ def fold_layers(evals: jnp.ndarray, shift: int, cfg: FriConfig, challenger: Chal
         half = m // 2
         # commit current layer as (f(x), f(-x)) pairs
         leaf = jnp.concatenate([cur[:half], cur[half:]], axis=1)  # [half, 4]
-        tree = mk.build_merkle_tree(leaf, min(cfg.cap_height, (half - 1).bit_length()))
+        cap_h = min(cfg.cap_height, (half - 1).bit_length())
+        if _device_openings_enabled():
+            tree = mk.device_merkle_tree(leaf, cap_h)
+        else:
+            tree = mk.build_merkle_tree(leaf, cap_h)
         trees.append(tree)
         challenger.observe_cap([tuple(int(x) for x in d) for d in tree.cap])
         beta = challenger.get_extension_challenge()
@@ -162,21 +177,52 @@ def query_rounds(
 
     Layer eval pairs are read straight off each tree's leaf level: FRI
     leaves are the 4-wide ``[f(x), f(-x)]`` pairs, which ``hash_leaves``
-    stores unhashed (plonky2 hash_or_noop semantics)."""
-    indices = []
+    stores unhashed (plonky2 hash_or_noop semantics).
+
+    With device-resident trees, only the query-touched leaf rows and
+    path digests are gathered on device and fetched in ONE combined
+    transfer (a few KB) instead of the full layer tables."""
+    indices = [challenger.get_challenge() % lde_n for _ in range(cfg.num_query_rounds)]
+
+    # per-layer query positions (qi = q % half, chained)
+    qis = []  # list over layers of [nq] int arrays
+    q = np.asarray(indices, dtype=np.int64)
+    for tree in trees:
+        half = tree.levels[0].shape[0]
+        qi = q % half
+        qis.append(qi)
+        q = qi
+
+    if trees and isinstance(trees[0], mk.DeviceMerkleTree):
+        gathers = []  # flat list of device arrays; counts per layer
+        counts = []
+        for tree, qi in zip(trees, qis):
+            leaf_rows = jnp.take(tree.levels_dev[0], jnp.asarray(qi), axis=0)
+            paths = tree.path_gathers(qi)
+            gathers.append(leaf_rows)
+            gathers.extend(paths)
+            counts.append(1 + len(paths))
+        fetched = mk.fetch_arrays(*gathers) if gathers else []
+        rounds = []
+        for k in range(cfg.num_query_rounds):
+            per_layer = []
+            off = 0
+            for li, tree in enumerate(trees):
+                chunk = fetched[off : off + counts[li]]
+                off += counts[li]
+                leaf = [int(x) for x in chunk[0][k]]
+                path = [tuple(int(x) for x in lv[k]) for lv in chunk[1:]]
+                per_layer.append((leaf, path))
+            rounds.append(per_layer)
+        return indices, rounds
+
     rounds = []
-    for _ in range(cfg.num_query_rounds):
-        idx = challenger.get_challenge() % lde_n
-        indices.append(idx)
+    for k in range(cfg.num_query_rounds):
         per_layer = []
-        q = idx
-        for tree in trees:
-            half = tree.levels[0].shape[0]
-            qi = q % half
-            leaf = [int(x) for x in tree.levels[0][qi]]
-            path = [tuple(int(x) for x in d) for d in tree.prove(qi)]
+        for tree, qi in zip(trees, qis):
+            leaf = [int(x) for x in tree.levels[0][int(qi[k])]]
+            path = [tuple(int(x) for x in d) for d in tree.prove(int(qi[k]))]
             per_layer.append((leaf, path))
-            q = qi
         rounds.append(per_layer)
     return indices, rounds
 

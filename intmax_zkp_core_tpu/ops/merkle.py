@@ -77,6 +77,66 @@ class MerkleTree:
         return path
 
 
+@dataclass
+class DeviceMerkleTree:
+    """Merkle tree whose levels stay DEVICE-resident; only the cap (which
+    the Fiat-Shamir transcript needs on host) is fetched eagerly.
+
+    Rationale: a commitment tree over a [2^18, 135] LDE is ~300 MB of
+    levels+leaves, but a proof only ever touches ~num_query_rounds leaf
+    rows and auth paths (a few KB).  Fetching the whole tree made
+    ``commit_wires`` 18 s at the tunnel's healthy ~16 MB/s and 450+ s
+    when the relay is congested, vs ~0.7 s of actual device compute
+    (docs/perf_notes.md round-3 notes).  Query-time extraction gathers
+    just the touched digests on device (``path_gathers``) and rides one
+    tiny combined fetch.
+
+    The host-levels ``MerkleTree`` remains the CPU-backend default,
+    where transfers are free."""
+
+    levels_dev: list  # device [m_i, 4], levels_dev[0] = leaf digests
+    cap_height: int
+    cap_np: np.ndarray = None
+
+    @property
+    def cap(self) -> np.ndarray:
+        return self.cap_np
+
+    @property
+    def levels(self):  # duck-type the parts of MerkleTree that only
+        return self.levels_dev  # need shapes (e.g. fri.query bookkeeping)
+
+    def path_gathers(self, indices) -> list:
+        """Device gathers of the sibling digests for each query index:
+        returns a list over levels of [nq, 4] device arrays (excluding
+        the cap).  Combine across trees with one ``fetch_arrays``."""
+        # np.array (not asarray): >>= below mutates, callers reuse indices
+        idx = np.array(indices, dtype=np.int64)
+        out = []
+        for level in self.levels_dev[:-1]:
+            out.append(jnp.take(level, jnp.asarray(idx ^ 1), axis=0))
+            idx >>= 1
+        return out
+
+    @staticmethod
+    def paths_from_fetched(fetched: list, indices) -> list:
+        """Rebuild per-query path lists from the host arrays that
+        ``path_gathers`` produced (after fetching): returns, per query
+        index, a list of 4-tuples from leaf level up."""
+        nq = len(indices)
+        return [
+            [tuple(int(x) for x in lv[k]) for lv in fetched]
+            for k in range(nq)
+        ]
+
+
+def device_merkle_tree(leaf_data, cap_height: int) -> DeviceMerkleTree:
+    """Like ``build_merkle_tree`` but fetches ONLY the cap."""
+    levels_dev = build_merkle_levels(leaf_data, cap_height)
+    cap_np = fetch_arrays(levels_dev[-1])[0]
+    return DeviceMerkleTree(levels_dev=levels_dev, cap_height=cap_height, cap_np=cap_np)
+
+
 def hash_leaves(leaf_data: jnp.ndarray) -> jnp.ndarray:
     """[n, leaf_width] -> [n, 4] digests.
 
@@ -90,15 +150,19 @@ def hash_leaves(leaf_data: jnp.ndarray) -> jnp.ndarray:
     return ps.hash_no_pad(leaf_data)
 
 
-@jax.jit
 def _level_two_to_one(cur):
-    """One tree level: [m, 4] digests -> [m/2, 4].  Jitted as a unit so the
-    strided even/odd gather, the absorb concatenate and the permutation fuse
-    into ONE dispatch per level — and the compiled graph is keyed only on
-    the level shape [m, 4], so every tree in the process (wires, zs_pp,
-    quotient, constants for every circuit) shares the same per-level
-    compilations."""
-    return ps.two_to_one(cur[0::2], cur[1::2])
+    """One tree level: [m, 4] digests -> [m/2, 4].
+
+    Siblings are ADJACENT rows, so the pair table is a free reshape
+    [m, 4] -> [m/2, 8] (no strided gather), and the sponge runs through
+    the eager ``hash_no_pad`` path whose permutation dispatch buckets the
+    batch shape — ALL tree levels of all trees in the process share the
+    same ~7 bucketed permutation programs.  (The previous per-level-shape
+    jit compiled one program per level: ~14 programs per tree height,
+    each costing 10-80 s of per-process first-call load through the
+    remote backend — docs/perf_notes.md round 3.)"""
+    m = cur.shape[0]
+    return ps.hash_no_pad(cur.reshape(m // 2, 8))
 
 
 def build_merkle_levels(leaf_data, cap_height: int) -> list:
@@ -125,15 +189,12 @@ def build_merkle_tree(leaf_data, cap_height: int) -> MerkleTree:
     return MerkleTree(levels=fetch_arrays(*levels_dev), cap_height=cap_height)
 
 
-@jax.jit
 def _level_two_to_one_batch(cur):
-    """Batched tree level: [K, m, 4] -> [K, m/2, 4] in one fused dispatch
-    (see ``_level_two_to_one``)."""
+    """Batched tree level: [K, m, 4] -> [K, m/2, 4] (see
+    ``_level_two_to_one`` — adjacent-pair reshape + bucketed sponge)."""
     K, m, _ = cur.shape
     half = m // 2
-    return ps.two_to_one(
-        cur[:, 0::2].reshape(K * half, 4), cur[:, 1::2].reshape(K * half, 4)
-    ).reshape(K, half, 4)
+    return ps.hash_no_pad(cur.reshape(K * half, 8)).reshape(K, half, 4)
 
 
 def build_merkle_levels_batch(leaf_data, cap_height: int) -> list:

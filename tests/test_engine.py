@@ -225,3 +225,36 @@ def test_open_and_combine_kernels_match_scalar_oracle():
         w1 = (w1 + mat[i].astype(object) * int(pows[i, 1])) % P
     assert (got2[:, 0].astype(object) == w0).all()
     assert (got2[:, 1].astype(object) == w1).all()
+
+
+def test_device_openings_proof_identical_to_fetch_all(monkeypatch):
+    # the device-resident-openings commit path (gather only query-touched
+    # rows/digests) must produce byte-identical proofs to the legacy
+    # fetch-everything path
+    import json
+
+    from intmax_zkp_core_tpu.engine.serde import proof_to_json
+
+    def prove_once():
+        builder = CircuitBuilder(tiny_config())
+        x = builder.add_virtual_target()
+        y = builder.add_virtual_target()
+        z = builder.add(builder.mul(x, y), x)
+        h = builder.hash_n_to_hash_no_pad([x, y, z])
+        for t in (x, y):
+            builder.register_public_input(t)
+        for t in h:
+            builder.register_public_input(t)
+        data = builder.build()
+        pw = PartialWitness()
+        pw.set_target(x, 3)
+        pw.set_target(y, 5)
+        proof = data.prove(pw)
+        data.verify(proof)
+        return json.dumps(proof_to_json(proof), sort_keys=True)
+
+    monkeypatch.setenv("INTMAX_TPU_DEVICE_OPENINGS", "1")
+    with_dev = prove_once()
+    monkeypatch.setenv("INTMAX_TPU_DEVICE_OPENINGS", "0")
+    without = prove_once()
+    assert with_dev == without
