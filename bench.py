@@ -110,15 +110,22 @@ def _measure_ntt(log_n: int, batch: int, iters: int) -> float:
     return _chain_throughput(nt.ntt, a, batch, iters)
 
 
-def _measure_block_flow() -> float:
-    """Warm wall-clock of the FLAGSHIP workload: the full recursive block
-    flow (2 senders, recursive user-tx + signature verification in-circuit,
+def _measure_block_flow() -> tuple:
+    """Wall-clock of the FLAGSHIP workload: the full recursive block flow
+    (2 senders, recursive user-tx + signature verification in-circuit,
     32768-row block circuit, FriConfig(3, 2)) — the reference's headline
-    binary (src/bin/block_circuit.rs:678-688).  'Warm' = on-disk circuit
-    cache + AOT executable cache + XLA compile cache populated (a block
-    producer's steady state; the first-ever run on a machine pays cold
-    compiles instead and will blow the stage timeout — the stage is
-    optional for exactly that reason)."""
+    binary (src/bin/block_circuit.rs:678-688).
+
+    Returns (fresh_process_s, steady_state_s): the flow runs TWICE in this
+    process.  The first run, with on-disk caches populated (circuit/AOT/
+    XLA compile caches — a block producer's machine steady state), still
+    pays the per-process executable device loads that dominate through a
+    remote backend (docs/perf_notes.md round 3).  The second run is the
+    serving steady state — everything loaded, every proof fully
+    recomputed — which is the number comparable to an in-process rayon
+    prover iterating blocks.  (A first-ever run on a machine pays cold
+    compiles instead and will blow the stage timeout; the stage is
+    optional for exactly that reason.)"""
     import os
 
     os.environ.setdefault(
@@ -131,7 +138,11 @@ def _measure_block_flow() -> float:
     cfg = CircuitConfig(fri=FriConfig(num_query_rounds=3, proof_of_work_bits=2))
     t0 = time.perf_counter()
     run_block_flow(config=cfg, prove=True, recursive=True)
-    return time.perf_counter() - t0
+    fresh = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_block_flow(config=cfg, prove=True, recursive=True)
+    steady = time.perf_counter() - t0
+    return fresh, steady
 
 
 # measured: the same warm recursive block flow on this 4-core CPU host
@@ -165,11 +176,18 @@ def _measure_zkdsa(k: int = 8) -> float:
 def _worker_blockflow() -> None:
     """Stage body for the flagship metric (its own subprocess: the flow
     holds the device for minutes and must not starve the other stages)."""
-    v = _measure_block_flow()
+    fresh, steady = _measure_block_flow()
     _emit(
-        "block_flow_warm_s", v, "s", REFERENCE_CPU_BLOCK_FLOW_S / v,
-        "baseline MEASURED: same warm recursive block flow on the 4-core "
-        "CPU host (282 s); vs_baseline > 1 means faster than CPU",
+        "block_flow_warm_s", steady, "s", REFERENCE_CPU_BLOCK_FLOW_S / steady,
+        "serving steady state (2nd in-process run, all programs loaded, "
+        "proofs fully recomputed); baseline MEASURED: same warm recursive "
+        "block flow on the 4-core CPU host (282 s); vs_baseline > 1 means "
+        "faster than CPU",
+    )
+    _emit(
+        "block_flow_freshproc_s", fresh, "s", REFERENCE_CPU_BLOCK_FLOW_S / fresh,
+        "fresh-process run (pays per-process executable device loads "
+        "through the remote backend); same measured CPU baseline",
     )
 
 

@@ -66,6 +66,36 @@ def _gate_quotient_chunk(gate_id: str, lo: int, hi: int, num_wires: int,
     Constraints are wire-local (intermediates live in wires), so slicing
     before jit lets DCE prune the untouched constraints' subgraphs."""
     key = (gate_id, lo, hi, num_wires, n_const, C)
+    # Pallas path (INTMAX_TPU_GATE_PALLAS=1, non-CPU backends): the whole
+    # poseidon-gate evaluation runs as one VMEM-resident limb-plane kernel
+    # (ops/gate_quotient_pallas) — 1.5x the jnp chunk's warm compute
+    # (0.047 s vs 0.073 s at [135, 2^18]) and a 16 MB artifact vs the
+    # 534 MB aotx.  Opt-in rather than default: through the remote axon
+    # backend a Mosaic program's per-process first call costs ~100 s
+    # regardless of size (docs/perf_notes.md round 3), which a fresh
+    # process never amortizes; a long-lived prover service should set it.
+    if (
+        use_jit
+        and gate_id == "poseidon"
+        and lo == 0
+        and hi == GATE_TYPES[gate_id].num_constraints
+        and jax.default_backend() != "cpu"
+        and os.environ.get("INTMAX_TPU_GATE_PALLAS", "0") == "1"
+    ):
+        pkey = key + ("pallas",)
+        entry = _GATE_CHUNK_CACHE.get(pkey)
+        if entry is None:
+            from ..ops.gate_quotient_pallas import poseidon_gate_quotient_pallas
+
+            def run_pallas(wires_lde, sel_col, const_cols, pi_hash, alphas,
+                           acc, apows):
+                return poseidon_gate_quotient_pallas(
+                    wires_lde, sel_col, alphas, acc, apows, C
+                )
+
+            entry = (run_pallas, run_pallas)
+            _GATE_CHUNK_CACHE[pkey] = entry
+        return entry[1]
     entry = _GATE_CHUNK_CACHE.get(key)
     if entry is None:
         gate = GATE_TYPES[gate_id]
@@ -193,13 +223,30 @@ def _commit(matrix, rate_bits: int, cap_height: int, from_coeffs: bool = False,
     the Merkle levels stay sharded through leaf hashing and folding with
     only the d block roots crossing the interconnect
     (parallel/merkle_sharded.py) — bit-identical to the single-device
-    kernel either way."""
+    kernel either way.
+
+    Default (INTMAX_TPU_DEVICE_OPENINGS=1, no commit mesh): the LDE and
+    tree levels stay DEVICE-resident (``lde_np`` is None, ``tree`` is a
+    ``DeviceMerkleTree``); only the cap and ``extras`` are fetched.  A
+    proof touches ~num_query_rounds rows of these tables — the full
+    fetch (300 MB for the block circuit's wire commit) cost 18 s at the
+    tunnel's healthy bandwidth and 450+ s congested."""
+    from .fri import _device_openings_enabled
+    from ..parallel.mesh import commit_mesh
+
     if from_coeffs:
         coeffs = jnp.asarray(matrix)
     else:
         coeffs = nt.intt(jnp.asarray(matrix))
     lde = _coset_lde_maybe_sharded(coeffs, rate_bits)
     levels_dev = _build_levels_maybe_sharded(jnp.transpose(lde), cap_height)
+    mesh, _axis = commit_mesh()
+    if _device_openings_enabled() and mesh is None:
+        fetched = mk.fetch_arrays(levels_dev[-1], *extras)
+        tree = mk.DeviceMerkleTree(
+            levels_dev=list(levels_dev), cap_height=cap_height, cap_np=fetched[0]
+        )
+        return coeffs, lde, None, tree, tuple(fetched[1:])
     fetched = mk.fetch_arrays(lde, *extras, *levels_dev)
     lde_np = fetched[0]
     extras_np = tuple(fetched[1 : 1 + len(extras)])
@@ -245,8 +292,48 @@ def _build_levels_maybe_sharded(leaves, cap_height: int):
     return mk.build_merkle_levels(leaves, cap_height)
 
 
-def _cap_tuples(tree: mk.MerkleTree) -> list:
+def _cap_tuples(tree) -> list:
     return [tuple(int(x) for x in d) for d in tree.cap]
+
+
+def _extract_initial_openings(named_trees: dict, indices: list) -> list:
+    """Per query index, per commitment: (leaf row, auth path).
+
+    ``named_trees[name] = (lde_dev, lde_np, tree)``.  Device trees
+    (``DeviceMerkleTree``) contribute device gathers of just the touched
+    rows/digests, combined into ONE tiny fetch; host trees (numpy levels,
+    e.g. the pickled constants_sigmas tree) extract directly."""
+    idx_np = np.asarray(indices, dtype=np.int64)
+    idx_dev = jnp.asarray(idx_np)
+    gathers = []
+    plan = {}  # name -> ("dev", n_arrays) | ("host",)
+    for name, (lde_dev, lde_np, tree) in named_trees.items():
+        if isinstance(tree, mk.DeviceMerkleTree):
+            leaf_rows = jnp.take(lde_dev, idx_dev, axis=1)  # [S, nq]
+            paths = tree.path_gathers(idx_np)
+            gathers.append(leaf_rows)
+            gathers.extend(paths)
+            plan[name] = ("dev", 1 + len(paths))
+        else:
+            plan[name] = ("host",)
+    fetched = mk.fetch_arrays(*gathers) if gathers else []
+    out = []
+    for k, idx in enumerate(indices):
+        per = {}
+        off = 0
+        for name, (lde_dev, lde_np, tree) in named_trees.items():
+            mode = plan[name]
+            if mode[0] == "dev":
+                chunk = fetched[off : off + mode[1]]
+                off += mode[1]
+                leaf = [int(x) for x in chunk[0][:, k]]
+                path = [tuple(int(x) for x in lv[k]) for lv in chunk[1:]]
+            else:
+                leaf = [int(x) for x in lde_np[:, idx]]
+                path = [tuple(int(x) for x in d) for d in tree.prove(idx)]
+            per[name] = (leaf, path)
+        out.append(per)
+    return out
 
 
 def _coset_points(lde_n: int) -> np.ndarray:
@@ -583,18 +670,34 @@ def check_witness(circuit_data: CircuitData, pw: PartialWitness) -> list:
 
 class _PhaseTimer:
     """Per-phase wall-clock tracing, enabled with INTMAX_TPU_TRACE=1
-    (the reference only has ad-hoc Instant::now prints, SURVEY §5.1)."""
+    (the reference only has ad-hoc Instant::now prints, SURVEY §5.1).
+
+    Phase boundaries are only as accurate as the blocking host readbacks
+    inside each phase (Fiat-Shamir cap observations); through the async
+    axon tunnel a phase's dispatch can drain into the next phase's
+    timing.  INTMAX_TPU_TRACE_SYNC=1 additionally drains the device at
+    every boundary (one tiny blocking readback), attributing queued work
+    to the phase that dispatched it — slightly perturbs the total, use
+    for profiling only."""
 
     def __init__(self):
         import os
 
         self.enabled = os.environ.get("INTMAX_TPU_TRACE") == "1"
+        self.sync = os.environ.get("INTMAX_TPU_TRACE_SYNC") == "1"
         self._t = None
         self._name = None
 
     def phase(self, name: str) -> None:
         import time
 
+        if self.sync and self._name is not None:
+            import numpy as _np
+            import jax.numpy as _jnp
+
+            # a dependent readback drains the dispatch queue even where
+            # block_until_ready returns early through the tunnel
+            _np.asarray(_jnp.zeros((), dtype=_jnp.uint32) + _jnp.uint32(1))
         now = time.perf_counter()
         if self.enabled and self._name is not None:
             print(f"[prove] {self._name}: {now - self._t:.3f}s", flush=True)
@@ -762,21 +865,17 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     pow_witness = grind_pow(challenger, fri_cfg.proof_of_work_bits)
     indices, rounds = query_rounds(trees, fri_cfg, challenger, lde_n)
 
-    # initial-tree openings per query
-    initial_openings = []
+    # initial-tree openings per query: device trees gather only the
+    # touched leaf rows + path digests (one combined tiny fetch); host
+    # trees (constants_sigmas rides in the pickled circuit) extract as
+    # numpy
     named_trees = {
-        "constants_sigmas": (pd.cs_lde, pd.cs_tree),
-        "wires": (wire_lde, wires_tree),
-        "zs_pp": (zspp_lde, zs_pp_tree),
-        "quotient": (quot_lde, quotient_tree),
+        "constants_sigmas": (None, pd.cs_lde, pd.cs_tree),
+        "wires": (wire_lde_dev, wire_lde, wires_tree),
+        "zs_pp": (zspp_lde_dev, zspp_lde, zs_pp_tree),
+        "quotient": (quot_lde_dev, quot_lde, quotient_tree),
     }
-    for idx in indices:
-        per = {}
-        for name, (lde, tree) in named_trees.items():
-            leaf = [int(x) for x in lde[:, idx]]
-            path = [tuple(int(x) for x in d) for d in tree.prove(idx)]
-            per[name] = (leaf, path)
-        initial_openings.append(per)
+    initial_openings = _extract_initial_openings(named_trees, indices)
 
     fri_proof = FriProof(
         caps=[_cap_tuples(t) for t in trees],

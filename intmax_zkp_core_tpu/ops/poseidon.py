@@ -27,6 +27,8 @@ padding mirrored in-circuit at reference
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -123,9 +125,25 @@ permute_jit = jax.jit(permute)
 _PALLAS_MIN_BATCH = 256
 
 
+def _pallas_bucket(nrows: int) -> int:
+    """Round a row count up to the next 256*4^k bucket.
+
+    Every distinct batch shape is a distinct compiled program, and through
+    the remote axon backend each program costs ~10-80 s of per-process
+    first-call load (measured; docs/perf_notes.md round 3) — a Merkle tree
+    build alone touches ~14 level shapes.  Bucketing to powers of four
+    caps the process at ~7 permutation programs for ANY workload, at the
+    price of <= 4x padded compute on an op that runs 2^20 rows in ~80 ms."""
+    b = _PALLAS_MIN_BATCH
+    while b < nrows:
+        b *= 4
+    return b
+
+
 def _permute_via_pallas(state: jax.Array, interpret: bool = False) -> jax.Array:
     """Run [..., 12] through the Pallas kernel: flatten leading dims, zero-pad
-    the row count to the kernel's 256-row tile, unpad and reshape back."""
+    the row count to the next 256*4^k program bucket, unpad and reshape
+    back."""
     from .poseidon_pallas import permute_pallas
 
     batch = state.shape[:-1]
@@ -133,7 +151,7 @@ def _permute_via_pallas(state: jax.Array, interpret: bool = False) -> jax.Array:
     for d in batch:
         nrows *= d
     flat = state.reshape(nrows, SPONGE_WIDTH)
-    pad = (-nrows) % _PALLAS_MIN_BATCH
+    pad = _pallas_bucket(nrows) - nrows
     if pad:
         flat = jnp.concatenate(
             [flat, jnp.zeros((pad, SPONGE_WIDTH), dtype=jnp.uint64)], axis=0
@@ -158,6 +176,14 @@ def permute_auto(state: jax.Array) -> jax.Array:
         nrows *= d
     if jax.default_backend() == "cpu" or nrows < _PALLAS_MIN_BATCH:
         return permute(state)
+    if os.environ.get("INTMAX_TPU_POSEIDON_PALLAS", "0") != "1":
+        # Default: the jnp body.  The Pallas kernel computes ~2x faster
+        # (80 ms vs 40 ms at 2^18 rows) but through the remote axon
+        # backend each Mosaic program's per-process first call costs
+        # 20-80 s vs 2-8 s for the jnp program (docs/perf_notes.md round
+        # 3) — for anything but a long-lived server the load dominates.
+        # INTMAX_TPU_POSEIDON_PALLAS=1 opts in for steady-state serving.
+        return permute(state)
     try:
         return _permute_via_pallas(state)
     except Exception:
@@ -180,7 +206,28 @@ def _permute_dispatch(state: jax.Array) -> jax.Array:
     """
     if isinstance(state, jax.core.Tracer):
         return permute_auto(state)
-    return _permute_auto_jit(state)
+    nrows = 1
+    for d in state.shape[:-1]:
+        nrows *= d
+    if jax.default_backend() == "cpu" or nrows < _PALLAS_MIN_BATCH:
+        return _permute_auto_jit(state)
+    # eager accelerator path: bucket the batch BEFORE the jit boundary so
+    # the process compiles/loads at most ~7 permutation programs total
+    # (one per 256*4^k bucket) instead of one per caller batch shape —
+    # through the remote backend each program's first call costs ~10-80 s
+    # (docs/perf_notes.md round 3).  The pad/slice ops are tiny eager
+    # programs that load in ~0.1 s.
+    flat = state.reshape(nrows, SPONGE_WIDTH)
+    bucket = _pallas_bucket(nrows)
+    if bucket != nrows:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((bucket - nrows, SPONGE_WIDTH), dtype=jnp.uint64)],
+            axis=0,
+        )
+    out = _permute_auto_jit(flat)
+    if bucket != nrows:
+        out = out[:nrows]
+    return out.reshape(state.shape)
 
 
 def hash_n_to_m_no_pad(inputs: jax.Array, num_outputs: int = 4) -> jax.Array:
