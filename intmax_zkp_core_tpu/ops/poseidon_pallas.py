@@ -48,9 +48,12 @@ _MDS_M[0, 0] += MDS_MATRIX_DIAG[0]
 
 
 def _mxu_enabled() -> bool:
+    # default ON: bit-exact on chip (drive-verified) and 1.47x the VPU
+    # accumulate path (17.21 vs 11.73 M perm/s at 2^20, v5e —
+    # docs/perf_notes.md); INTMAX_TPU_POSEIDON_MXU=0 restores the VPU MDS
     import os
 
-    return os.environ.get("INTMAX_TPU_POSEIDON_MXU") == "1"
+    return os.environ.get("INTMAX_TPU_POSEIDON_MXU", "1") == "1"
 
 
 def _make_permute_body(mxu_mds: bool | None = None):
