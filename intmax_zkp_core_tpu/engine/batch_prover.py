@@ -218,7 +218,7 @@ def prove_batch(
     # ---- 3. permutation argument columns ----
     perm_batch = _vmapped(
         "perm_columns", intern["perm_columns_impl"], (0, 0, 0, None, None),
-        use_jit, aot,
+        use_jit, aot, extra="suffinv",
     )
     betas_dev = put(betas)
     gammas_dev = put(gammas)

@@ -428,25 +428,33 @@ def get_circuit_kernels(pd):
 
             f_ch = chunk_prod(f_fac)
             g_ch = chunk_prod(g_fac)
-            # prefix products over chunks
+            # prefix products of f chunks; SUFFIX products of g chunks:
+            # inv(G_pref[j]) = G_suff[j+1] * inv(G_total), so only the
+            # single [n] total column needs the ~94-mul Fermat inversion
+            # instead of the whole [nch, n] prefix matrix (bit-identical
+            # field values; ~12x less inversion work)
             f_pref = [f_ch[0]]
-            g_pref = [g_ch[0]]
             for j in range(1, nch):
                 f_pref.append(gl.mul(f_pref[-1], f_ch[j]))
-                g_pref.append(gl.mul(g_pref[-1], g_ch[j]))
             f_pref = jnp.stack(f_pref)  # [nch, n]
-            g_pref = jnp.stack(g_pref)
-            g_pref_inv = gl.inv(g_pref)
-            row_quot = gl.mul(f_pref[-1], g_pref_inv[-1])  # [n]
+            g_suff = [g_ch[nch - 1]]
+            for j in range(nch - 2, -1, -1):
+                g_suff.append(gl.mul(g_suff[-1], g_ch[j]))
+            g_suff.reverse()
+            g_total_inv = gl.inv(g_suff[0])  # [n]
+            row_quot = gl.mul(f_pref[-1], g_total_inv)  # [n]
             cum = jax.lax.associative_scan(gl.mul, row_quot)  # [n]
             z = jnp.concatenate([jnp.ones((1,), jnp.uint64), cum[:-1]])
-            pp = gl.mul(z, gl.mul(f_pref[:-1], g_pref_inv[:-1]))  # [nch-1, n]
+            g_pref_inv = gl.mul(jnp.stack(g_suff[1:]), g_total_inv)  # [nch-1, n]
+            pp = gl.mul(z, gl.mul(f_pref[:-1], g_pref_inv))  # [nch-1, n]
             return z, pp, cum[-1]
 
         zs, pps, wraps = jax.vmap(per_challenge)(betas, gammas)
         return zs, pps, wraps
 
-    perm_columns_jit = AotJit(perm_columns_impl, "perm_columns")
+    # "suffinv": the suffix-product inversion rework changed the graph and
+    # the AOT key does not hash the jaxpr
+    perm_columns_jit = AotJit(perm_columns_impl, "perm_columns", extra="suffinv")
 
     def perm_columns(wires, betas, gammas):
         return perm_columns_jit(wires, betas, gammas, id_vals_c, sigma_c)

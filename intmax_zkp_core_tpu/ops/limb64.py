@@ -83,9 +83,22 @@ def sub_canon(alo, ahi, blo, bhi):
     return lo2, hi2
 
 
-def reduce128(n0, n1, n2, n3):
-    """(n3*2^96 + n2*2^64 + n1*2^32 + n0) mod p using
-    2^64 = 2^32 - 1, 2^96 = -1."""
+def canon64(lo, hi):
+    """Canonicalize a loose (< 2^64, value-correct mod p) pair: one
+    conditional subtract of p suffices because 2^64 < 2p."""
+    ge_p = (hi == u32(0xFFFFFFFF)) & (lo >= u32(1))
+    lo2 = jnp.where(ge_p, lo - u32(1), lo)
+    hi2 = jnp.where(ge_p, hi - u32(0xFFFFFFFF), hi)
+    return lo2, hi2
+
+
+def reduce128_partial(n0, n1, n2, n3):
+    """(n3*2^96 + n2*2^64 + n1*2^32 + n0) mod p as a LOOSE 64-bit pair:
+    the result is < 2^64 and congruent mod p but may exceed p by up to
+    2^32 - 2 (skip the final conditional subtract; ``canon64`` restores
+    canonical form).  Valid for arbitrary u32 limbs: the overflow
+    compensation never double-wraps because t < 2^64 and
+    t1 <= (2^32-1)^2 give t + t1 + EPSILON < 2^65 - 2^32."""
     # t = lo64 - n3  (64-bit subtract (lo,hi) - (n3,0))
     lo, hi = n0, n1
     lo1 = lo - n3
@@ -106,14 +119,17 @@ def reduce128(n0, n1, n2, n3):
     eps2 = jnp.where(overflow, u32(0xFFFFFFFF), u32(0))
     lo4 = lo3 + eps2
     hi4 = hi3 + (lo4 < lo3).astype(u32)
-    ge_p = (hi4 == u32(0xFFFFFFFF)) & (lo4 >= u32(1))
-    lo5 = jnp.where(ge_p, lo4 - u32(1), lo4)
-    hi5 = jnp.where(ge_p, hi4 - u32(0xFFFFFFFF), hi4)
-    return lo5, hi5
+    return lo4, hi4
 
 
-def mul_mod(alo, ahi, blo, bhi):
-    """Full 64x64 -> 128 via four 32x32 partials, then reduce."""
+def reduce128(n0, n1, n2, n3):
+    """(n3*2^96 + n2*2^64 + n1*2^32 + n0) mod p, canonical."""
+    return canon64(*reduce128_partial(n0, n1, n2, n3))
+
+
+def mul_mod_partial(alo, ahi, blo, bhi):
+    """Full 64x64 -> 128 via four 32x32 partials, loosely reduced
+    (< 2^64, congruent mod p).  Inputs may themselves be loose."""
     ll_lo, ll_hi = mul32x32(alo, blo)
     lh_lo, lh_hi = mul32x32(alo, bhi)
     hl_lo, hl_hi = mul32x32(ahi, blo)
@@ -132,12 +148,45 @@ def mul_mod(alo, ahi, blo, bhi):
     n2b = n2 + c1 + c2
     c5 = (n2b < n2).astype(u32)
     n3 = hh_hi + c3 + c4 + c5
-    return reduce128(ll_lo, n1, n2b, n3)
+    return reduce128_partial(ll_lo, n1, n2b, n3)
+
+
+def mul_mod(alo, ahi, blo, bhi):
+    """Full 64x64 -> 128 via four 32x32 partials, canonical result."""
+    return canon64(*mul_mod_partial(alo, ahi, blo, bhi))
+
+
+def sqr_mod_partial(alo, ahi):
+    """x^2 mod p, loosely reduced: 3 32x32 partials instead of 4 (the
+    cross term a_lo*a_hi is computed once and doubled).  Input may be
+    loose; x^2 = ll + 2*cross*2^32 + hh*2^64 < 2^128, so every column
+    sum below fits u32 exactly once carries are extracted."""
+    ll_lo, ll_hi = mul32x32(alo, alo)
+    x_lo, x_hi = mul32x32(alo, ahi)
+    hh_lo, hh_hi = mul32x32(ahi, ahi)
+    # double the 64-bit cross term: d = 2*x, 65 bits (top bit -> column 3)
+    d0 = x_lo << u32(1)
+    d1 = (x_hi << u32(1)) | (x_lo >> u32(31))
+    d2 = x_hi >> u32(31)
+    n1 = ll_hi + d0
+    c1 = (n1 < ll_hi).astype(u32)
+    s2 = hh_lo + d1
+    c2 = (s2 < hh_lo).astype(u32)
+    n2 = s2 + c1
+    c3 = (n2 < s2).astype(u32)
+    n3 = hh_hi + d2 + c2 + c3
+    return reduce128_partial(ll_lo, n1, n2, n3)
+
+
+def sbox7_partial(lo, hi):
+    """x^7 mod p, loosely reduced throughout: 2 squarings (3 partials
+    each) + 2 general multiplies, no intermediate canonicalization."""
+    l2, h2 = sqr_mod_partial(lo, hi)
+    l3, h3 = mul_mod_partial(l2, h2, lo, hi)
+    l6, h6 = sqr_mod_partial(l3, h3)
+    return mul_mod_partial(l6, h6, lo, hi)
 
 
 def sbox7(lo, hi):
-    """x^7 mod p (the Poseidon S-box): 3 modular multiplies."""
-    l2, h2 = mul_mod(lo, hi, lo, hi)
-    l3, h3 = mul_mod(l2, h2, lo, hi)
-    l6, h6 = mul_mod(l3, h3, l3, h3)
-    return mul_mod(l6, h6, lo, hi)
+    """x^7 mod p (the Poseidon S-box), canonical result."""
+    return canon64(*sbox7_partial(lo, hi))

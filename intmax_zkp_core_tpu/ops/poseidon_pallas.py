@@ -77,14 +77,16 @@ def _make_permute_body(mxu_mds: bool | None = None):
     add_canon = limb.add_canon
     mul32x32 = limb.mul32x32
     reduce128 = limb.reduce128
-    sbox = limb.sbox7
+    reduce128_partial = limb.reduce128_partial
+    sbox = limb.sbox7_partial
 
     circ = MDS_MATRIX_CIRC
     diag0 = MDS_MATRIX_DIAG[0]
 
     def mds_mxu(lo, hi, mds):
         """M @ state on the MXU: 8 exact bf16 matmuls over 8-bit limb
-        planes, recombined into (n0, n1, n2) u32 limbs for reduce128."""
+        planes, recombined into (n0, n1, n2) u32 limb columns (the
+        caller folds the next round's constants in before reducing)."""
         v = []
         for src in (lo, hi):
             for s in (0, 8, 16, 24):
@@ -103,16 +105,34 @@ def _make_permute_body(mxu_mds: bool | None = None):
         n1 = mid + ((w[3] & u32(0xFFFF)) << u32(16))
         c1 = (n1 < mid).astype(u32)
         n2 = (w[3] >> u32(16)) + c1
+        return n0, n1, n2
+
+    def fold_rc_reduce(n0, n1, n2, rnd, rc_lo, rc_hi, lo_shape):
+        """Reduce the MDS limb columns, folding the NEXT round's
+        constants into the 96-bit value first (a 64-bit add with carry
+        into n2 — n2 stays far below 2^32) so no separate canonical
+        add is needed; the state stays loose between rounds and is
+        canonicalized once after the final round."""
+        if rnd + 1 < N_ROUNDS:
+            rlo = jnp.broadcast_to(rc_lo[rnd + 1][:, None], lo_shape)
+            rhi = jnp.broadcast_to(rc_hi[rnd + 1][:, None], lo_shape)
+            s0 = n0 + rlo
+            c0 = (s0 < n0).astype(u32)
+            s1a = n1 + rhi
+            ca = (s1a < n1).astype(u32)
+            s1 = s1a + c0
+            cb = (s1 < s1a).astype(u32)
+            return reduce128_partial(s0, s1, n2 + ca + cb, jnp.zeros_like(n2))
         return reduce128(n0, n1, n2, jnp.zeros_like(n2))
 
     def permute_tile(lo, hi, rc_lo, rc_hi, mds=None):
+        # round-0 constants (the state is canonical at entry; later
+        # rounds' constants are folded into the previous MDS reduction)
+        lo, hi = add_canon(lo, hi,
+                           jnp.broadcast_to(rc_lo[0][:, None], lo.shape),
+                           jnp.broadcast_to(rc_hi[0][:, None], hi.shape))
         for rnd in range(N_ROUNDS):
-            # constant layer
-            rlo = rc_lo[rnd][:, None]
-            rhi = rc_hi[rnd][:, None]
-            lo, hi = add_canon(lo, hi, jnp.broadcast_to(rlo, lo.shape),
-                               jnp.broadcast_to(rhi, hi.shape))
-            # sbox layer
+            # sbox layer (loose: intermediates skip canonicalization)
             if rnd < HALF_N_FULL_ROUNDS or rnd >= HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS:
                 lo, hi = sbox(lo, hi)
             else:
@@ -120,7 +140,8 @@ def _make_permute_body(mxu_mds: bool | None = None):
                 lo = jnp.concatenate([l0, lo[1:]], axis=0)
                 hi = jnp.concatenate([h0, hi[1:]], axis=0)
             if mxu_mds:
-                lo, hi = mds_mxu(lo, hi, mds)
+                n0, n1, n2 = mds_mxu(lo, hi, mds)
+                lo, hi = fold_rc_reduce(n0, n1, n2, rnd, rc_lo, rc_hi, lo.shape)
                 continue
             # MDS: accumulate products of small constants on 32-bit planes
             # value = sum_i c_i * state[(r+i) % 12]; accumulate lo/hi planes
@@ -161,7 +182,7 @@ def _make_permute_body(mxu_mds: bool | None = None):
             n1 = acclh + acchl
             c6 = (n1 < acclh).astype(u32)
             n2 = acchh + c6
-            lo, hi = reduce128(accll, n1, n2, jnp.zeros_like(n2))
+            lo, hi = fold_rc_reduce(accll, n1, n2, rnd, rc_lo, rc_hi, lo.shape)
         return lo, hi
 
     return permute_tile

@@ -72,3 +72,45 @@ def test_fused_sponge_kernel_interpret_matches_scalar():
         for i in (0, 1, 255):
             want = hash_n_to_m_no_pad_s([int(v) for v in x[i]], 4)
             assert [int(v) for v in out[i]] == list(want), (width, i)
+
+
+def test_limb64_partial_primitives_vs_bigint():
+    # loose-reduction primitives: result must be < 2^64 and congruent
+    # mod p for ARBITRARY u64 inputs (the kernel feeds them loose,
+    # non-canonical values); exercise extremes the random draw misses.
+    from intmax_zkp_core_tpu.ops import limb64 as limb
+
+    rng = np.random.default_rng(31)
+    vals = list(rng.integers(0, 1 << 64, size=200, dtype=np.uint64))
+    vals += [0, 1, P - 1, P, P + 1, (1 << 64) - 1, (1 << 32) - 1,
+             1 << 32, (1 << 64) - (1 << 32), 0xFFFFFFFF00000000]
+    a = np.array(vals, dtype=np.uint64)
+    b = np.array(list(reversed(vals)), dtype=np.uint64)
+    alo = jnp.asarray((a & 0xFFFFFFFF).astype(np.uint32))
+    ahi = jnp.asarray((a >> np.uint64(32)).astype(np.uint32))
+    blo = jnp.asarray((b & 0xFFFFFFFF).astype(np.uint32))
+    bhi = jnp.asarray((b >> np.uint64(32)).astype(np.uint32))
+
+    def recomb(lo, hi):
+        return np.asarray(lo).astype(np.uint64) | (
+            np.asarray(hi).astype(np.uint64) << np.uint64(32))
+
+    got_sq = recomb(*limb.sqr_mod_partial(alo, ahi))
+    got_mul = recomb(*limb.mul_mod_partial(alo, ahi, blo, bhi))
+    got_sbox = recomb(*limb.sbox7(alo, ahi))
+    for i, (x, y) in enumerate(zip(a.tolist(), b.tolist())):
+        assert int(got_sq[i]) % P == (x * x) % P, ("sqr", i, x)
+        assert int(got_mul[i]) % P == (x * y) % P, ("mul", i, x, y)
+        assert int(got_sbox[i]) == pow(x, 7, P), ("sbox", i, x)
+
+    # reduce128_partial over random + extreme 128-bit column values
+    n = rng.integers(0, 1 << 32, size=(4, 64), dtype=np.uint64).astype(np.uint32)
+    n[:, :2] = 0xFFFFFFFF  # all-ones columns: the double-wrap stress case
+    n[:, 2] = 0
+    cols = [jnp.asarray(n[i]) for i in range(4)]
+    got = recomb(*limb.reduce128_partial(*cols))
+    for i in range(n.shape[1]):
+        want = (int(n[0, i]) + (int(n[1, i]) << 32) + (int(n[2, i]) << 64)
+                + (int(n[3, i]) << 96)) % P
+        assert int(got[i]) % P == want, ("reduce", i)
+        assert int(got[i]) < (1 << 64)
