@@ -50,6 +50,7 @@ class BlockFlowResult:
     block_proof: object  # BlockProductionProofWithPublicInputs | public inputs
     user_tx_proofs: list
     block_circuit: object
+    merge_proofs: list = None  # sender 2's deposit-merge witness bundle
 
 
 def _prove_group(circuit, pws: list, prove: bool) -> list:
@@ -449,6 +450,7 @@ def run_block_flow(
         block_proof=block_proof,
         user_tx_proofs=user_tx_proofs,
         block_circuit=block_circuit,
+        merge_proofs=[merge_proof],
     )
 
 

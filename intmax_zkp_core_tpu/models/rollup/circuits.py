@@ -136,6 +136,46 @@ class BlockProductionPublicInputs:
     def get_entry_hash(self) -> HashOut:
         return hash_no_pad(self.encode())
 
+    def to_json(self) -> dict:
+        """Reference serde layout (``rollup/circuits/mod.rs:655-669``,
+        ``SerializableBlockProductionPublicInputs``): snake_case fields,
+        hex digests."""
+        return {
+            "address_list": [e.to_json() for e in self.address_list],
+            "deposit_list": [d.to_json() for d in self.deposit_list],
+            "scroll_flag_list": [d.to_json() for d in self.scroll_flag_list],
+            "polygon_flag_list": [d.to_json() for d in self.polygon_flag_list],
+            "old_account_tree_root": self.old_account_tree_root.to_hex(),
+            "new_account_tree_root": self.new_account_tree_root.to_hex(),
+            "old_world_state_root": self.old_world_state_root.to_hex(),
+            "new_world_state_root": self.new_world_state_root.to_hex(),
+            "old_prev_block_header_digest": self.old_prev_block_header_digest.to_hex(),
+            "new_prev_block_header_digest": self.new_prev_block_header_digest.to_hex(),
+            "block_hash": self.block_hash.to_hex(),
+        }
+
+    @classmethod
+    def from_json(cls, o: dict) -> "BlockProductionPublicInputs":
+        return cls(
+            address_list=[
+                TransactionSenderWithValidity.from_json(e) for e in o["address_list"]
+            ],
+            deposit_list=[DepositInfo.from_json(d) for d in o["deposit_list"]],
+            scroll_flag_list=[DepositInfo.from_json(d) for d in o["scroll_flag_list"]],
+            polygon_flag_list=[DepositInfo.from_json(d) for d in o["polygon_flag_list"]],
+            old_account_tree_root=HashOut.from_hex(o["old_account_tree_root"]),
+            new_account_tree_root=HashOut.from_hex(o["new_account_tree_root"]),
+            old_world_state_root=HashOut.from_hex(o["old_world_state_root"]),
+            new_world_state_root=HashOut.from_hex(o["new_world_state_root"]),
+            old_prev_block_header_digest=HashOut.from_hex(
+                o["old_prev_block_header_digest"]
+            ),
+            new_prev_block_header_digest=HashOut.from_hex(
+                o["new_prev_block_header_digest"]
+            ),
+            block_hash=HashOut.from_hex(o["block_hash"]),
+        )
+
 
 @dataclass
 class BlockProductionPublicInputsTarget:
@@ -217,6 +257,81 @@ class BlockDetail:
             latest_account_process_proofs=[],
             block_headers_proof_siblings=siblings,
             prev_block_header=prev_block_header,
+        )
+
+    def to_json(self) -> dict:
+        """Reference serde layout (``rollup/circuits/mod.rs:69-84``): the
+        full block-production witness as one JSON checkpoint.  Inner
+        user-tx/signature proofs serialize in THIS engine's proof format
+        (``engine/serde.py``) — the schema (field names, tuple-as-array
+        process-proof triples, null for absent signatures) matches the
+        reference; proof bytes are engine-specific by construction."""
+        from ...engine.serde import proof_to_json
+
+        def triples(lst):
+            return [[p.to_json() for p in t] for t in lst]
+
+        return {
+            "block_number": self.block_number,
+            "user_tx_proofs": [proof_to_json(p) for p in self.user_tx_proofs],
+            "deposit_process_proofs": triples(self.deposit_process_proofs),
+            "scroll_process_proofs": triples(self.scroll_process_proofs),
+            "polygon_process_proofs": triples(self.polygon_process_proofs),
+            "world_state_process_proofs": [
+                p.to_json() for p in self.world_state_process_proofs
+            ],
+            "world_state_revert_proofs": [
+                p.to_json() for p in self.world_state_revert_proofs
+            ],
+            "received_signature_proofs": [
+                None if p is None else proof_to_json(p)
+                for p in self.received_signature_proofs
+            ],
+            "latest_account_process_proofs": [
+                p.to_json() for p in self.latest_account_process_proofs
+            ],
+            "block_headers_proof_siblings": [
+                s.to_hex() for s in self.block_headers_proof_siblings
+            ],
+            "prev_block_header": self.prev_block_header.to_json(),
+        }
+
+    @classmethod
+    def from_json(cls, o: dict) -> "BlockDetail":
+        from ...engine.serde import proof_from_json
+        from ..sparse_merkle_tree.proofs import SparseMerkleProcessProof
+
+        def triples(lst):
+            return [
+                tuple(SparseMerkleProcessProof.from_json(p) for p in t) for t in lst
+            ]
+
+        return cls(
+            block_number=o["block_number"],
+            user_tx_proofs=[proof_from_json(p) for p in o["user_tx_proofs"]],
+            deposit_process_proofs=triples(o["deposit_process_proofs"]),
+            scroll_process_proofs=triples(o["scroll_process_proofs"]),
+            polygon_process_proofs=triples(o["polygon_process_proofs"]),
+            world_state_process_proofs=[
+                SparseMerkleProcessProof.from_json(p)
+                for p in o["world_state_process_proofs"]
+            ],
+            world_state_revert_proofs=[
+                SparseMerkleProcessProof.from_json(p)
+                for p in o["world_state_revert_proofs"]
+            ],
+            received_signature_proofs=[
+                None if p is None else proof_from_json(p)
+                for p in o["received_signature_proofs"]
+            ],
+            latest_account_process_proofs=[
+                SparseMerkleProcessProof.from_json(p)
+                for p in o["latest_account_process_proofs"]
+            ],
+            block_headers_proof_siblings=[
+                HashOut.from_hex(s) for s in o["block_headers_proof_siblings"]
+            ],
+            prev_block_header=BlockHeader.from_json(o["prev_block_header"]),
         )
 
 

@@ -78,15 +78,17 @@ class SparseMerkleInclusionProof:
         )
 
     def to_json(self) -> dict:
+        """Reference serde layout: serde-derive field names (snake_case),
+        hex digests (``proof/inclusion.rs:5-33``)."""
         return {
             "root": self.root.to_hex(),
             "found": self.found,
             "key": self.key.to_hex(),
             "value": self.value.to_hex(),
-            "notFoundKey": self.not_found_key.to_hex(),
-            "notFoundValue": self.not_found_value.to_hex(),
+            "not_found_key": self.not_found_key.to_hex(),
+            "not_found_value": self.not_found_value.to_hex(),
             "siblings": [s.to_hex() for s in self.siblings],
-            "isOld0": self.is_old0,
+            "is_old0": self.is_old0,
         }
 
     @classmethod
@@ -96,10 +98,10 @@ class SparseMerkleInclusionProof:
             found=o["found"],
             key=HashOut.from_hex(o["key"]),
             value=HashOut.from_hex(o["value"]),
-            not_found_key=HashOut.from_hex(o["notFoundKey"]),
-            not_found_value=HashOut.from_hex(o["notFoundValue"]),
+            not_found_key=HashOut.from_hex(o["not_found_key"]),
+            not_found_value=HashOut.from_hex(o["not_found_value"]),
             siblings=[HashOut.from_hex(s) for s in o["siblings"]],
-            is_old0=o["isOld0"],
+            is_old0=o["is_old0"],
         )
 
 
@@ -135,30 +137,36 @@ class SparseMerkleProcessProof:
         verify_smt_process_proof(self)
 
     def to_json(self) -> dict:
+        """Reference serde layout: snake_case field names, ``fnc`` as the
+        enum variant-name string (serde's unit-variant default —
+        ``proof/process.rs:12-22,53-59``)."""
         return {
-            "oldRoot": self.old_root.to_hex(),
-            "oldKey": self.old_key.to_hex(),
-            "oldValue": self.old_value.to_hex(),
-            "newRoot": self.new_root.to_hex(),
-            "newKey": self.new_key.to_hex(),
-            "newValue": self.new_value.to_hex(),
+            "old_root": self.old_root.to_hex(),
+            "old_key": self.old_key.to_hex(),
+            "old_value": self.old_value.to_hex(),
+            "new_root": self.new_root.to_hex(),
+            "new_key": self.new_key.to_hex(),
+            "new_value": self.new_value.to_hex(),
             "siblings": [s.to_hex() for s in self.siblings],
-            "isOld0": self.is_old0,
-            "fnc": self.fnc.to_u8(),
+            "is_old0": self.is_old0,
+            "fnc": self.fnc.name,
         }
 
     @classmethod
     def from_json(cls, o: dict) -> "SparseMerkleProcessProof":
+        fnc = o["fnc"]
         return cls(
-            old_root=HashOut.from_hex(o["oldRoot"]),
-            old_key=HashOut.from_hex(o["oldKey"]),
-            old_value=HashOut.from_hex(o["oldValue"]),
-            new_root=HashOut.from_hex(o["newRoot"]),
-            new_key=HashOut.from_hex(o["newKey"]),
-            new_value=HashOut.from_hex(o["newValue"]),
+            old_root=HashOut.from_hex(o["old_root"]),
+            old_key=HashOut.from_hex(o["old_key"]),
+            old_value=HashOut.from_hex(o["old_value"]),
+            new_root=HashOut.from_hex(o["new_root"]),
+            new_key=HashOut.from_hex(o["new_key"]),
+            new_value=HashOut.from_hex(o["new_value"]),
             siblings=[HashOut.from_hex(s) for s in o["siblings"]],
-            is_old0=o["isOld0"],
-            fnc=ProcessMerkleProofRole.from_u8(o["fnc"]),
+            is_old0=o["is_old0"],
+            fnc=ProcessMerkleProofRole[fnc]
+            if isinstance(fnc, str)
+            else ProcessMerkleProofRole.from_u8(fnc),
         )
 
 

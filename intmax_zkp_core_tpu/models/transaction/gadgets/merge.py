@@ -48,6 +48,40 @@ class MergeProof:
     latest_account_tree_inclusion_proof: SparseMerkleInclusionProof
     nonce: HashOut
 
+    def to_json(self) -> dict:
+        """Reference serde layout (``merge/mod.rs:36-50``): snake_case
+        fields, the inclusion-proof tuple as a 3-element JSON array —
+        the checkpoint format of a merge witness (SURVEY §5.4)."""
+        bh, mp, ip = self.diff_tree_inclusion_proof
+        return {
+            "is_deposit": self.is_deposit,
+            "diff_tree_inclusion_proof": [bh.to_json(), mp.to_json(), ip.to_json()],
+            "merge_process_proof": self.merge_process_proof.to_json(),
+            "latest_account_tree_inclusion_proof": (
+                self.latest_account_tree_inclusion_proof.to_json()
+            ),
+            "nonce": self.nonce.to_hex(),
+        }
+
+    @classmethod
+    def from_json(cls, o: dict) -> "MergeProof":
+        bh, mp, ip = o["diff_tree_inclusion_proof"]
+        return cls(
+            is_deposit=o["is_deposit"],
+            diff_tree_inclusion_proof=(
+                BlockHeader.from_json(bh),
+                MerkleProof.from_json(mp),
+                SparseMerkleInclusionProof.from_json(ip),
+            ),
+            merge_process_proof=SparseMerkleProcessProof.from_json(
+                o["merge_process_proof"]
+            ),
+            latest_account_tree_inclusion_proof=SparseMerkleInclusionProof.from_json(
+                o["latest_account_tree_inclusion_proof"]
+            ),
+            nonce=HashOut.from_hex(o["nonce"]),
+        )
+
 
 @dataclass
 class MergeProofTarget:

@@ -38,3 +38,21 @@ def test_block_flow_check_mode():
     # entry hash is the block circuit's only public input
     pis = res.block_proof
     assert pis.block_hash != HashOut.ZERO
+
+    # MergeProof serde round trip (reference merge/mod.rs:36-50 derives
+    # Serialize/Deserialize on the merge witness — its checkpoint format)
+    from intmax_zkp_core_tpu.models.transaction.gadgets.merge import MergeProof
+
+    (mp,) = res.merge_proofs
+    assert MergeProof.from_json(json.loads(json.dumps(mp.to_json()))) == mp
+
+    # BlockProductionPublicInputs serde round trip
+    # (rollup/circuits/mod.rs:635-669)
+    from intmax_zkp_core_tpu.models.rollup.circuits import (
+        BlockProductionPublicInputs,
+    )
+
+    assert (
+        BlockProductionPublicInputs.from_json(json.loads(json.dumps(pis.to_json())))
+        == pis
+    )
