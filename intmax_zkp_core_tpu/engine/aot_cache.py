@@ -106,7 +106,18 @@ class AotJit:
         try:
             # dispatch errors surface asynchronously — block once to
             # validate the deserialized executable before trusting it
+            # (this first blocking call is also where the device program
+            # load lands; INTMAX_TPU_AOT_DEBUG=1 attributes it)
+            import time as _time
+
+            t0 = _time.perf_counter()
             out = jax.block_until_ready(comp(*args))
+            if os.environ.get("INTMAX_TPU_AOT_DEBUG") == "1":
+                print(
+                    f"[aot] {self._name} first-call "
+                    f"{_time.perf_counter()-t0:.2f}s",
+                    flush=True,
+                )
             self._compiled[shapes] = (comp, False, path)
             return out
         except Exception:

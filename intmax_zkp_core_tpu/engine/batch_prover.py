@@ -216,19 +216,33 @@ def prove_batch(
         gammas[k] = ch.get_n_challenges(C)
 
     # ---- 3. permutation argument columns ----
-    perm_batch = _vmapped(
-        "perm_columns", intern["perm_columns_impl"], (0, 0, 0, None, None),
-        use_jit, aot, extra="suffinv",
-    )
+    from ..runtime import perm_pallas_enabled
+
     betas_dev = put(betas)
     gammas_dev = put(gammas)
-    z_cols_d, pp_cols_d, wraps = perm_batch(
-        wires_dev[:, :R],
-        betas_dev,
-        gammas_dev,
-        intern["id_vals"],
-        intern["sigma"],
-    )
+    if (mesh is None and jax.default_backend() != "cpu"
+            and perm_pallas_enabled()):
+        # the Mosaic kernel folds the proof axis into its grid; mesh runs
+        # keep the vmap path (a Mosaic custom call cannot be auto-
+        # partitioned by SPMD)
+        from ..ops.perm_columns_pallas import perm_columns_pallas_batched
+
+        z_cols_d, pp_cols_d, wraps = perm_columns_pallas_batched(
+            wires_dev[:, :R], betas_dev, gammas_dev,
+            intern["id_vals"], intern["sigma"],
+        )
+    else:
+        perm_batch = _vmapped(
+            "perm_columns", intern["perm_columns_impl"], (0, 0, 0, None, None),
+            use_jit, aot, extra="suffinv",
+        )
+        z_cols_d, pp_cols_d, wraps = perm_batch(
+            wires_dev[:, :R],
+            betas_dev,
+            gammas_dev,
+            intern["id_vals"],
+            intern["sigma"],
+        )
     zs_pp_matrices_dev = jnp.concatenate(
         [z_cols_d, pp_cols_d.reshape(K, C * (nch - 1), n)], axis=1
     )
@@ -250,24 +264,65 @@ def prove_batch(
     alphas_arr = put(alphas)
     pi_arr = put(np.array(pi_hashes, dtype=np.uint64))
 
-    pqp_batch = _vmapped(
-        "perm_quotient",
-        intern["perm_quotient_part"],
-        (0, 0, 0, 0, 0, 0, None, None, None),
-        use_jit, aot, extra=f"b{fri_cfg.blowup}",
-    )
-    acc, apows = pqp_batch(
-        wires_lde_arr,
-        zs_lde_arr,
-        pps_lde_arr,
-        betas_dev,
-        gammas_dev,
-        alphas_arr,
-        intern["sigma_lde"],
-        intern["xs"],
-        intern["l0"],
-    )
+    if (mesh is None and jax.default_backend() != "cpu"
+            and perm_pallas_enabled()):
+        from ..ops.perm_quotient_pallas import perm_quotient_pallas_batched
+
+        acc, apows = perm_quotient_pallas_batched(
+            wires_lde_arr,
+            zs_lde_arr,
+            pps_lde_arr,
+            betas_dev,
+            gammas_dev,
+            alphas_arr,
+            intern["sigma_lde"],
+            intern["xs"],
+            intern["l0"],
+            intern["k_is"],
+            fri_cfg.blowup,
+        )
+    else:
+        pqp_batch = _vmapped(
+            "perm_quotient",
+            intern["perm_quotient_part"],
+            (0, 0, 0, 0, 0, 0, None, None, None),
+            use_jit, aot, extra=f"b{fri_cfg.blowup}",
+        )
+        acc, apows = pqp_batch(
+            wires_lde_arr,
+            zs_lde_arr,
+            pps_lde_arr,
+            betas_dev,
+            gammas_dev,
+            alphas_arr,
+            intern["sigma_lde"],
+            intern["xs"],
+            intern["l0"],
+        )
+    from ..runtime import gate_pallas_enabled
+    from .gates import GATE_TYPES
+
     for gi, chunk_key in intern["gate_chunk_keys"]:
+        gate_id, lo, hi = chunk_key[0], chunk_key[1], chunk_key[2]
+        if (
+            gate_id == "poseidon"
+            and lo == 0
+            and hi == GATE_TYPES[gate_id].num_constraints
+            and mesh is None
+            and jax.default_backend() != "cpu"
+            and gate_pallas_enabled()
+        ):
+            # the proof axis folds into the Mosaic grid: one ~MB program
+            # instead of a 330-476 MB per-K vmap executable
+            from ..ops.gate_quotient_pallas import (
+                poseidon_gate_quotient_pallas_batched,
+            )
+
+            acc, apows = poseidon_gate_quotient_pallas_batched(
+                wires_lde_arr, intern["sel_cols"][gi], alphas_arr, acc,
+                apows, C,
+            )
+            continue
         raw = _gate_quotient_chunk(*chunk_key, use_jit=False)
         fn = _vmapped(
             f"chunk:{chunk_key}", raw, (0, None, None, 0, 0, 0, 0),
@@ -282,11 +337,20 @@ def prove_batch(
             acc,
             apows,
         )
-    finish_batch = _vmapped(
-        "finish", intern["quotient_finish"], (0, None, None),
-        use_jit, aot, extra=f"b{fri_cfg.blowup}-ntt2",  # embeds intt: see prover._wrap
-    )
-    quotient_matrices_dev = finish_batch(acc, intern["z_h"], intern["shift_pows"])
+    if (mesh is None and jax.default_backend() != "cpu"
+            and perm_pallas_enabled()):
+        from ..ops.zinv_mul_pallas import zinv_mul_pallas
+
+        q = zinv_mul_pallas(acc, intern["z_h"])  # [K, C, lde_n]
+        quotient_matrices_dev = intern["finish_tail"](
+            q.reshape(K * C, lde_n), intern["shift_pows"]
+        ).reshape(K, C * fri_cfg.blowup, n)
+    else:
+        finish_batch = _vmapped(
+            "finish", intern["quotient_finish"], (0, None, None),
+            use_jit, aot, extra=f"b{fri_cfg.blowup}-ntt2",  # embeds intt: see prover._wrap
+        )
+        quotient_matrices_dev = finish_batch(acc, intern["z_h"], intern["shift_pows"])
     quot_coeffs_dev, quot_lde_dev, quot_lde, quotient_trees, _ = _commit_batch(
         quotient_matrices_dev, fri_cfg.rate_bits, fri_cfg.cap_height, from_coeffs=True
     )

@@ -66,21 +66,24 @@ def _gate_quotient_chunk(gate_id: str, lo: int, hi: int, num_wires: int,
     Constraints are wire-local (intermediates live in wires), so slicing
     before jit lets DCE prune the untouched constraints' subgraphs."""
     key = (gate_id, lo, hi, num_wires, n_const, C)
-    # Pallas path (INTMAX_TPU_GATE_PALLAS=1, non-CPU backends): the whole
-    # poseidon-gate evaluation runs as one VMEM-resident limb-plane kernel
-    # (ops/gate_quotient_pallas) — 1.5x the jnp chunk's warm compute
-    # (0.047 s vs 0.073 s at [135, 2^18]) and a 16 MB artifact vs the
-    # 534 MB aotx.  Opt-in rather than default: through the remote axon
-    # backend a Mosaic program's per-process first call costs ~100 s
-    # regardless of size (docs/perf_notes.md round 3), which a fresh
-    # process never amortizes; a long-lived prover service should set it.
+    # Pallas path (INTMAX_TPU_GATE_PALLAS=1 or serving mode, non-CPU
+    # backends): the whole poseidon-gate evaluation runs as one
+    # VMEM-resident limb-plane kernel (ops/gate_quotient_pallas) — 1.5x
+    # the jnp chunk's warm compute (0.047 s vs 0.073 s at [135, 2^18])
+    # and a 16 MB artifact vs the 534 MB aotx.  Opt-in rather than
+    # default: through the remote axon backend a Mosaic program's
+    # per-process first call costs ~100 s regardless of size
+    # (docs/perf_notes.md round 3), which a fresh process never
+    # amortizes; a long-lived prover service sets INTMAX_TPU_SERVING=1.
+    from ..runtime import gate_pallas_enabled
+
     if (
         use_jit
         and gate_id == "poseidon"
         and lo == 0
         and hi == GATE_TYPES[gate_id].num_constraints
         and jax.default_backend() != "cpu"
-        and os.environ.get("INTMAX_TPU_GATE_PALLAS", "0") == "1"
+        and gate_pallas_enabled()
     ):
         pkey = key + ("pallas",)
         entry = _GATE_CHUNK_CACHE.get(pkey)
@@ -445,8 +448,13 @@ def get_circuit_kernels(pd):
             row_quot = gl.mul(f_pref[-1], g_total_inv)  # [n]
             cum = jax.lax.associative_scan(gl.mul, row_quot)  # [n]
             z = jnp.concatenate([jnp.ones((1,), jnp.uint64), cum[:-1]])
-            g_pref_inv = gl.mul(jnp.stack(g_suff[1:]), g_total_inv)  # [nch-1, n]
-            pp = gl.mul(z, gl.mul(f_pref[:-1], g_pref_inv))  # [nch-1, n]
+            if nch > 1:
+                g_pref_inv = gl.mul(jnp.stack(g_suff[1:]), g_total_inv)  # [nch-1, n]
+                pp = gl.mul(z, gl.mul(f_pref[:-1], g_pref_inv))  # [nch-1, n]
+            else:
+                # R <= CHUNK: no partial products; stacking the empty
+                # g_suff[1:] list would raise at trace time
+                pp = jnp.zeros((0, n), jnp.uint64)
             return z, pp, cum[-1]
 
         zs, pps, wraps = jax.vmap(per_challenge)(betas, gammas)
@@ -457,6 +465,12 @@ def get_circuit_kernels(pd):
     perm_columns_jit = AotJit(perm_columns_impl, "perm_columns", extra="suffinv")
 
     def perm_columns(wires, betas, gammas):
+        from ..runtime import perm_pallas_enabled
+
+        if use_jit and jax.default_backend() != "cpu" and perm_pallas_enabled():
+            from ..ops.perm_columns_pallas import perm_columns_pallas
+
+            return perm_columns_pallas(wires, betas, gammas, id_vals_c, sigma_c)
         return perm_columns_jit(wires, betas, gammas, id_vals_c, sigma_c)
 
     # The quotient is compiled in bounded pieces rather than one monolithic
@@ -534,6 +548,13 @@ def get_circuit_kernels(pd):
 
     perm_quotient_fn = _wrap(perm_quotient_part, "perm_quotient")
     finish_fn = _wrap(quotient_finish, "quotient_finish")
+
+    def finish_tail(q, shift_pows_a):
+        """intt + coset unshift of the divided accumulator [..., lde_n]
+        (the Pallas path's XLA tail; the Fermat divide runs in Mosaic)."""
+        return gl.mul(nt.intt(q), shift_pows_a)
+
+    finish_tail_fn = _wrap(finish_tail, "quotient_finish_tail")
     sel_cols = [sel_lde[i] for i in range(n_sel)]
     gate_chunks = []
     gate_chunk_keys = []
@@ -553,13 +574,30 @@ def get_circuit_kernels(pd):
         """wires_lde [W, lde_n]; zs_lde [C, lde_n]; pps_lde [C, nch-1, lde_n];
         challenges [C]; pi_hash [4] -> quotient coefficient chunks
         [C*blowup, n]."""
-        acc, apows = perm_quotient_fn(
-            wires_lde, zs_lde, pps_lde, betas, gammas, alphas,
-            sigma_lde_c, xs_c, l0_c,
-        )
+        from ..runtime import perm_pallas_enabled
+
+        if use_jit and jax.default_backend() != "cpu" and perm_pallas_enabled():
+            from ..ops.perm_quotient_pallas import perm_quotient_pallas
+
+            acc, apows = perm_quotient_pallas(
+                wires_lde, zs_lde, pps_lde, betas, gammas, alphas,
+                sigma_lde_c, xs_c, l0_c, k_is_c, cfg.fri.blowup,
+            )
+        else:
+            acc, apows = perm_quotient_fn(
+                wires_lde, zs_lde, pps_lde, betas, gammas, alphas,
+                sigma_lde_c, xs_c, l0_c,
+            )
         for gi, fn in gate_chunks:
             acc, apows = fn(
                 wires_lde, sel_cols[gi], const_lde, pi_hash, alphas, acc, apows
+            )
+        if use_jit and jax.default_backend() != "cpu" and perm_pallas_enabled():
+            from ..ops.zinv_mul_pallas import zinv_mul_pallas
+
+            q = zinv_mul_pallas(acc, z_h_c)
+            return finish_tail_fn(q, shift_pows_c).reshape(
+                C * cfg.fri.blowup, n
             )
         return finish_fn(acc, z_h_c, shift_pows_c)
 
@@ -572,6 +610,7 @@ def get_circuit_kernels(pd):
             "perm_columns_impl": perm_columns_impl,
             "perm_quotient_part": perm_quotient_part,
             "quotient_finish": quotient_finish,
+            "finish_tail": finish_tail_fn,
             "gate_chunk_keys": gate_chunk_keys,
             "sel_cols": sel_cols,
             "const_lde": const_lde,
@@ -582,6 +621,7 @@ def get_circuit_kernels(pd):
             "shift_pows": shift_pows_c,
             "id_vals": id_vals_c,
             "sigma": sigma_c,
+            "k_is": k_is_c,
             "use_jit": use_jit,
             # device-resident per-circuit tables so each prove avoids
             # re-uploading them (they are constant across proofs)

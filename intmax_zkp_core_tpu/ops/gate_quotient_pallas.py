@@ -132,7 +132,10 @@ def _tile_compute(gate, n_cs: int, C: int, wlo, whi, sel_lo, sel_hi,
     """Pure-jnp tile computation shared by the Pallas kernel body and the
     plain-jit test path: evaluate the gate's constraints on an
     [W*8, T]-blocked point tile and fold the sel-filtered alpha
-    combination into acc [C*8, T].  Returns (out_lo, out_hi)."""
+    combination into acc [C*8, T].  Returns (out_lo, out_hi).
+    ``tbl_lo``/``tbl_hi`` may be 2-D indexables (SMEM refs / arrays) or
+    callables ``(c, k) -> scalar`` (the batched kernel's extra leading
+    block axis)."""
     alg = LimbAlgebra()
     num_wires = wlo.shape[0] // 8
     wires = [
@@ -141,6 +144,8 @@ def _tile_compute(gate, n_cs: int, C: int, wlo, whi, sel_lo, sel_hi,
     ]
     cs = gate.eval_constraints(alg, wires, [], None)
     assert len(cs) == n_cs
+    t_lo = tbl_lo if callable(tbl_lo) else lambda c, k: tbl_lo[c, k]
+    t_hi = tbl_hi if callable(tbl_hi) else lambda c, k: tbl_hi[c, k]
     out_lo = []
     out_hi = []
     for c in range(C):
@@ -149,8 +154,8 @@ def _tile_compute(gate, n_cs: int, C: int, wlo, whi, sel_lo, sel_hi,
             # scalar loads (tables ride in SMEM in the Pallas kernel) —
             # Mosaic cannot lower a (1,1)->(8,T) vector broadcast, but
             # vector-times-scalar is native
-            w_lo = tbl_lo[c, k]
-            w_hi = tbl_hi[c, k]
+            w_lo = t_lo(c, k)
+            w_hi = t_hi(c, k)
             term = limb.mul_mod(t[0], t[1], w_lo, w_hi)
             comb = term if comb is None else limb.add_canon(*comb, *term)
         flo, fhi = limb.mul_mod(comb[0], comb[1], sel_lo, sel_hi)
@@ -276,3 +281,87 @@ def poseidon_gate_quotient_pallas(wires_lde, sel_col, alphas, acc, apows,
         interpret=interpret,
     )(wlo, whi, slo, shi, tlo, thi, alo, ahi)
     return _fuse(out_lo, out_hi).reshape(C, L), out_apows
+
+
+def _make_batched_kernel(gate, n_cs: int, C: int):
+    """Kernel over (proof k, L-tile) grid blocks: wires/acc carry a
+    leading block axis of 1; the alpha table rides in SMEM per proof."""
+
+    def kernel(wlo_ref, whi_ref, sel_lo_ref, sel_hi_ref,
+               tbl_lo_ref, tbl_hi_ref, acc_lo_ref, acc_hi_ref,
+               out_lo_ref, out_hi_ref):
+        out_lo, out_hi = _tile_compute(
+            gate, n_cs, C, wlo_ref[0], whi_ref[0], sel_lo_ref[:],
+            sel_hi_ref[:],
+            lambda c, k: tbl_lo_ref[0, c, k],
+            lambda c, k: tbl_hi_ref[0, c, k],
+            acc_lo_ref[0], acc_hi_ref[0],
+        )
+        out_lo_ref[0] = out_lo
+        out_hi_ref[0] = out_hi
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def poseidon_gate_quotient_pallas_batched(wires_lde, sel_col, alphas, acc,
+                                          apows, C: int,
+                                          interpret: bool = False):
+    """Batched drop-in for ``vmap`` of the poseidon gate-chunk run
+    function: wires_lde [K, W, L], sel_col [L] (shared), alphas/apows
+    [K, C], acc [K, C, L] -> (acc' [K, C, L], apows' [K, C]),
+    bit-identical to the jnp path.  The proof axis folds into the Mosaic
+    grid, so the batched prover loads ONE small program instead of the
+    330-476 MB per-K vmap executables."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..engine.gates import GATE_TYPES
+
+    gate = GATE_TYPES["poseidon"]
+    n_cs = gate.num_constraints
+    K, W, L = wires_lde.shape
+    assert L % 64 == 0, L
+    L8 = L // 8
+    TX = min(256, L8)
+    assert L8 % TX == 0, (L8, TX)
+
+    table, out_apows = _combine_table(
+        alphas.reshape(K * C), apows.reshape(K * C), n_cs
+    )
+    wlo, whi = _split(wires_lde.reshape(K, W * 8, L8))
+    slo, shi = _split(sel_col.reshape(8, L8))
+    tlo, thi = _split(table.reshape(K, C, n_cs))
+    alo, ahi = _split(acc.reshape(K, C * 8, L8))
+
+    kernel = _make_batched_kernel(gate, n_cs, C)
+    per_k = lambda rows_: pl.BlockSpec(
+        (1, rows_, TX), lambda k, i: (k, jnp.int32(0), i),
+        memory_space=pltpu.VMEM,
+    )
+    shared_spec = pl.BlockSpec(
+        (8, TX), lambda k, i: (jnp.int32(0), i), memory_space=pltpu.VMEM
+    )
+    tbl_spec = pl.BlockSpec(
+        (1, C, n_cs), lambda k, i: (k, jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.SMEM,
+    )
+    out_lo, out_hi = pl.pallas_call(
+        kernel,
+        grid=(K, L8 // TX),
+        in_specs=[
+            per_k(W * 8), per_k(W * 8),
+            shared_spec, shared_spec,
+            tbl_spec, tbl_spec,
+            per_k(C * 8), per_k(C * 8),
+        ],
+        out_specs=[per_k(C * 8), per_k(C * 8)],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, C * 8, L8), u32),
+            jax.ShapeDtypeStruct((K, C * 8, L8), u32),
+        ],
+        interpret=interpret,
+    )(wlo, whi, slo, shi, tlo, thi, alo, ahi)
+    return (
+        _fuse(out_lo, out_hi).reshape(K, C, L),
+        out_apows.reshape(K, C),
+    )

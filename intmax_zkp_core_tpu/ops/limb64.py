@@ -21,6 +21,15 @@ import jax.numpy as jnp
 
 u32 = jnp.uint32
 
+# Bumped whenever any helper in this module changes its traced graph
+# (even value-identically).  The AOT executable cache (engine/aot_cache)
+# keys on (name, extra, shapes) — NOT the jaxpr — so every AotJit whose
+# graph embeds these primitives must include this version in its
+# ``extra`` string, or a warm process silently keeps executing the stale
+# on-disk executable (ADVICE round 3).  v2 = loose sbox7 chain with a
+# single trailing canon64.
+LIMB_GRAPH_VERSION = 2
+
 
 def add64(alo, ahi, blo, bhi):
     """Plain 64-bit add with carry (no reduction)."""
@@ -190,3 +199,34 @@ def sbox7_partial(lo, hi):
 def sbox7(lo, hi):
     """x^7 mod p (the Poseidon S-box), canonical result."""
     return canon64(*sbox7_partial(lo, hi))
+
+
+def inv(lo, hi):
+    """x^(p-2) mod p (Fermat inversion; 0 -> 0), canonical result.
+
+    p - 2 = 2^64 - 2^32 - 1 is 31 ones, a zero, then 32 ones, so the
+    chain builds ``c_k = x^(2^k - 1)`` by doubling (c_{2k} = c_k^(2^k)
+    * c_k): ~64 squarings (3 partial products each) + 11 multiplies,
+    all loosely reduced.  Matches ``ops/goldilocks.inv`` bit-exactly on
+    canonical inputs (tests/test_poseidon_pallas.py)."""
+
+    def sqn(v, n):
+        for _ in range(n):
+            v = sqr_mod_partial(*v)
+        return v
+
+    def mul2(a, b):
+        return mul_mod_partial(a[0], a[1], b[0], b[1])
+
+    c1 = (lo, hi)
+    c2 = mul2(sqn(c1, 1), c1)
+    c4 = mul2(sqn(c2, 2), c2)
+    c8 = mul2(sqn(c4, 4), c4)
+    c16 = mul2(sqn(c8, 8), c8)
+    c24 = mul2(sqn(c16, 8), c8)
+    c28 = mul2(sqn(c24, 4), c4)
+    c30 = mul2(sqn(c28, 2), c2)
+    c31 = mul2(sqn(c30, 1), c1)
+    c32 = mul2(sqn(c31, 1), c1)  # x^(2^32 - 1)
+    # e = (2^31 - 1) << 33 | (2^32 - 1):  x^e = (c31^(2^33)) * c32
+    return canon64(*mul2(sqn(c31, 33), c32))

@@ -176,13 +176,16 @@ def permute_auto(state: jax.Array) -> jax.Array:
         nrows *= d
     if jax.default_backend() == "cpu" or nrows < _PALLAS_MIN_BATCH:
         return permute(state)
-    if os.environ.get("INTMAX_TPU_POSEIDON_PALLAS", "0") != "1":
+    from ..runtime import poseidon_pallas_enabled
+
+    if not poseidon_pallas_enabled():
         # Default: the jnp body.  The Pallas kernel computes ~2x faster
         # (80 ms vs 40 ms at 2^18 rows) but through the remote axon
         # backend each Mosaic program's per-process first call costs
         # 20-80 s vs 2-8 s for the jnp program (docs/perf_notes.md round
         # 3) — for anything but a long-lived server the load dominates.
-        # INTMAX_TPU_POSEIDON_PALLAS=1 opts in for steady-state serving.
+        # INTMAX_TPU_POSEIDON_PALLAS=1 or serving mode
+        # (INTMAX_TPU_SERVING=1, runtime.py) opts in.
         return permute(state)
     try:
         return _permute_via_pallas(state)

@@ -67,12 +67,10 @@ def _make_permute_body(mxu_mds: bool | None = None):
     exact in f32), freeing the VPU of the per-term multiply-accumulate
     carry chains.  When enabled, ``permute_tile`` takes a fifth argument:
     the [12, 12] bf16 MDS matrix (Mosaic kernels cannot capture array
-    constants).  Defaults to the INTMAX_TPU_POSEIDON_MXU env switch (off
-    unless set to 1)."""
-    import os
-
+    constants).  Defaults to the INTMAX_TPU_POSEIDON_MXU env switch
+    (``_mxu_enabled``: ON unless explicitly set to 0)."""
     if mxu_mds is None:
-        mxu_mds = os.environ.get("INTMAX_TPU_POSEIDON_MXU") == "1"
+        mxu_mds = _mxu_enabled()
     u32 = jnp.uint32
     add_canon = limb.add_canon
     mul32x32 = limb.mul32x32
