@@ -23,11 +23,19 @@ Layout:
 """
 
 import os
+import sys
 
 import jax
 
 # Goldilocks field elements are uint64; enable 64-bit types once, at import.
 jax.config.update("jax_enable_x64", True)
+
+# Tracing a Pallas kernel from inside the prover's call stack nests JAX's
+# recursive tracers past CPython's default 1000-frame limit (observed:
+# RecursionError in dtype promotion while tracing a BlockSpec index map
+# mid-prove).  The graphs themselves are bounded; only the limit is low.
+if sys.getrecursionlimit() < 10000:
+    sys.setrecursionlimit(10000)
 
 # Persistent compilation cache: the prover's jitted kernels are large; reuse
 # compilations across processes (first TPU compile can take minutes).

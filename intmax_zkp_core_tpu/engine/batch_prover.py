@@ -442,18 +442,27 @@ def prove_batch(
 
     xs_ext = jnp.stack([intern["xs"], jnp.zeros(lde_n, dtype=jnp.uint64)], axis=-1)
 
-    fri_init_batch = _vmapped(
-        "fri_init", _fri_initial_one, (0, 0, None, 0, 0, 0, 0), use_jit, aot
-    )
-    G = fri_init_batch(
-        comb1,
-        comb2,
-        xs_ext,
-        zetas_arr,
-        gzetas_arr,
-        put(comb1_at),
-        put(comb2_at),
-    )
+    if (mesh is None and jax.default_backend() != "cpu"
+            and perm_pallas_enabled()):
+        from ..ops.fri_init_pallas import fri_initial_pallas_batched
+
+        G = fri_initial_pallas_batched(
+            comb1, comb2, intern["xs"], zetas_arr, gzetas_arr,
+            put(comb1_at), put(comb2_at),
+        )
+    else:
+        fri_init_batch = _vmapped(
+            "fri_init", _fri_initial_one, (0, 0, None, 0, 0, 0, 0), use_jit, aot
+        )
+        G = fri_init_batch(
+            comb1,
+            comb2,
+            xs_ext,
+            zetas_arr,
+            gzetas_arr,
+            put(comb1_at),
+            put(comb2_at),
+        )
 
     # fold all K proofs in lockstep (per-proof transcripts drive the betas).
     # Layer eval pairs stay device-side: each layer tree's leaf level IS the

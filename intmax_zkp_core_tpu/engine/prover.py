@@ -891,21 +891,33 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     for j, y in enumerate(openings["zs_next"]):
         comb2_at_gzeta = ext_add(comb2_at_gzeta, ext_mul(alpha_pows[m1 + j], y))
 
-    # domain points (cached device coset table from get_circuit_kernels)
-    xs_ext = jnp.stack(
-        [intern["xs"], jnp.zeros(lde_n, dtype=jnp.uint64)], axis=-1
-    )
+    from ..runtime import perm_pallas_enabled as _pp_enabled
 
-    def sub_const_ext(arr, cst):
-        out0 = gl.sub(arr[..., 0], jnp.uint64(cst[0]))
-        out1 = gl.sub(arr[..., 1], jnp.uint64(cst[1]))
-        return jnp.stack([out0, out1], axis=-1)
+    if jax.default_backend() != "cpu" and _pp_enabled():
+        from ..ops.fri_init_pallas import fri_initial_pallas_batched
 
-    denom1 = gl.ext_inv(sub_const_ext(xs_ext, zeta))
-    denom2 = gl.ext_inv(sub_const_ext(xs_ext, gzeta))
-    num1 = sub_const_ext(comb1, comb1_at_zeta)
-    num2 = sub_const_ext(comb2, comb2_at_gzeta)
-    G = gl.ext_add(gl.ext_mul(num1, denom1), gl.ext_mul(num2, denom2))
+        G = fri_initial_pallas_batched(
+            comb1[None], comb2[None], intern["xs"],
+            zeta_arr[None], gzeta_arr[None],
+            jnp.asarray(np.array(comb1_at_zeta, dtype=np.uint64))[None],
+            jnp.asarray(np.array(comb2_at_gzeta, dtype=np.uint64))[None],
+        )[0]
+    else:
+        # domain points (cached device coset table from get_circuit_kernels)
+        xs_ext = jnp.stack(
+            [intern["xs"], jnp.zeros(lde_n, dtype=jnp.uint64)], axis=-1
+        )
+
+        def sub_const_ext(arr, cst):
+            out0 = gl.sub(arr[..., 0], jnp.uint64(cst[0]))
+            out1 = gl.sub(arr[..., 1], jnp.uint64(cst[1]))
+            return jnp.stack([out0, out1], axis=-1)
+
+        denom1 = gl.ext_inv(sub_const_ext(xs_ext, zeta))
+        denom2 = gl.ext_inv(sub_const_ext(xs_ext, gzeta))
+        num1 = sub_const_ext(comb1, comb1_at_zeta)
+        num2 = sub_const_ext(comb2, comb2_at_gzeta)
+        G = gl.ext_add(gl.ext_mul(num1, denom1), gl.ext_mul(num2, denom2))
 
     trees, final_poly, fri_betas = fold_layers(
         G, gl.MULTIPLICATIVE_GROUP_GENERATOR, fri_cfg, challenger

@@ -290,11 +290,16 @@ def _make_batched_kernel(gate, n_cs: int, C: int):
     def kernel(wlo_ref, whi_ref, sel_lo_ref, sel_hi_ref,
                tbl_lo_ref, tbl_hi_ref, acc_lo_ref, acc_hi_ref,
                out_lo_ref, out_hi_ref):
+        from jax.experimental import pallas as pl
+
+        # SMEM tables ride in whole (Mosaic requires full SMEM blocks);
+        # index the proof row dynamically
+        kk = pl.program_id(0)
         out_lo, out_hi = _tile_compute(
             gate, n_cs, C, wlo_ref[0], whi_ref[0], sel_lo_ref[:],
             sel_hi_ref[:],
-            lambda c, k: tbl_lo_ref[0, c, k],
-            lambda c, k: tbl_hi_ref[0, c, k],
+            lambda c, k: tbl_lo_ref[kk, c, k],
+            lambda c, k: tbl_hi_ref[kk, c, k],
             acc_lo_ref[0], acc_hi_ref[0],
         )
         out_lo_ref[0] = out_lo
@@ -342,7 +347,8 @@ def poseidon_gate_quotient_pallas_batched(wires_lde, sel_col, alphas, acc,
         (8, TX), lambda k, i: (jnp.int32(0), i), memory_space=pltpu.VMEM
     )
     tbl_spec = pl.BlockSpec(
-        (1, C, n_cs), lambda k, i: (k, jnp.int32(0), jnp.int32(0)),
+        (K, C, n_cs),
+        lambda k, i: (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
         memory_space=pltpu.SMEM,
     )
     out_lo, out_hi = pl.pallas_call(
