@@ -11,9 +11,18 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate" not in _flags:
+    # 8 virtual devices on 4 cores under parallel pytest workers: an
+    # in-process collective rendezvous can stall past XLA:CPU's default
+    # terminate timeout, which ABORTS the process (observed: xdist
+    # worker crash in the meshed flagship test's sharded-tree gathers).
+    # Oversubscription should be slow, not fatal.
+    _flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
