@@ -110,28 +110,31 @@ def _measure_ntt(log_n: int, batch: int, iters: int) -> float:
     return _chain_throughput(nt.ntt, a, batch, iters)
 
 
-def _measure_block_flow() -> tuple:
+def _measure_block_flow(serving: bool) -> tuple:
     """Wall-clock of the FLAGSHIP workload: the full recursive block flow
     (2 senders, recursive user-tx + signature verification in-circuit,
     32768-row block circuit, FriConfig(3, 2)) — the reference's headline
     binary (src/bin/block_circuit.rs:678-688).
 
-    Returns (fresh_process_s, steady_state_s): the flow runs TWICE in this
-    process.  The first run, with on-disk caches populated (circuit/AOT/
-    XLA compile caches — a block producer's machine steady state), still
-    pays the per-process executable device loads that dominate through a
-    remote backend (docs/perf_notes.md round 3).  The second run is the
-    serving steady state — everything loaded, every proof fully
-    recomputed — which is the number comparable to an in-process rayon
-    prover iterating blocks.  (A first-ever run on a machine pays cold
-    compiles instead and will blow the stage timeout; the stage is
-    optional for exactly that reason.)"""
+    ``serving=True``: INTMAX_TPU_SERVING=1 (the hand-written Pallas
+    kernels are the defaults) and the flow runs TWICE — the second run is
+    the serving steady state, everything loaded, every proof fully
+    recomputed; measured round 4: 50.4 s vs 109.5 s for the jnp kernels.
+    ``serving=False``: one run with the default (jnp-kernel) dispatch —
+    the fresh-process configuration, which through the remote axon
+    backend is load-bound either way (each Mosaic program's first call
+    costs 20-140 s vs multi-hundred-MB jnp artifact loads; the jnp side
+    is the better one-shot trade — docs/perf_notes.md round 4).  (A
+    first-ever run on a machine pays cold compiles instead and will blow
+    the stage timeout; the stage is optional for exactly that reason.)"""
     import os
 
     os.environ.setdefault(
         "INTMAX_TPU_CIRCUIT_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache_circ"),
     )
+    if serving:
+        os.environ["INTMAX_TPU_SERVING"] = "1"
     from intmax_zkp_core_tpu.engine.config import CircuitConfig, FriConfig
     from intmax_zkp_core_tpu.models.rollup.block_flow import run_block_flow
 
@@ -139,6 +142,8 @@ def _measure_block_flow() -> tuple:
     t0 = time.perf_counter()
     run_block_flow(config=cfg, prove=True, recursive=True)
     fresh = time.perf_counter() - t0
+    if not serving:
+        return fresh, None
     t0 = time.perf_counter()
     run_block_flow(config=cfg, prove=True, recursive=True)
     steady = time.perf_counter() - t0
@@ -151,7 +156,13 @@ REFERENCE_CPU_BLOCK_FLOW_S = 282.0
 
 
 def _measure_zkdsa(k: int = 8) -> float:
-    """Proofs/s at standard_recursion_config, K proofs per device pass."""
+    """Proofs/s at standard_recursion_config, K proofs per device pass.
+
+    Serving mode: the steady-state throughput number should use the
+    serving kernels (the first, untimed prove_batch pays their loads)."""
+    import os
+
+    os.environ.setdefault("INTMAX_TPU_SERVING", "1")
     from intmax_zkp_core_tpu.engine.batch_prover import prove_batch
     from intmax_zkp_core_tpu.engine.config import CircuitConfig
     from intmax_zkp_core_tpu.engine.witness import PartialWitness
@@ -173,22 +184,31 @@ def _measure_zkdsa(k: int = 8) -> float:
     return k / (time.perf_counter() - t0)
 
 
-def _worker_blockflow() -> None:
-    """Stage body for the flagship metric (its own subprocess: the flow
-    holds the device for minutes and must not starve the other stages)."""
-    fresh, steady = _measure_block_flow()
-    _emit(
-        "block_flow_warm_s", steady, "s", REFERENCE_CPU_BLOCK_FLOW_S / steady,
-        "serving steady state (2nd in-process run, all programs loaded, "
-        "proofs fully recomputed); baseline MEASURED: same warm recursive "
-        "block flow on the 4-core CPU host (282 s); vs_baseline > 1 means "
-        "faster than CPU",
-    )
-    _emit(
-        "block_flow_freshproc_s", fresh, "s", REFERENCE_CPU_BLOCK_FLOW_S / fresh,
-        "fresh-process run (pays per-process executable device loads "
-        "through the remote backend); same measured CPU baseline",
-    )
+def _worker_blockflow(serving: bool) -> None:
+    """Stage body for the flagship metrics (own subprocess per config:
+    the flow holds the device for minutes and must not starve the other
+    stages)."""
+    fresh, steady = _measure_block_flow(serving)
+    if serving:
+        _emit(
+            "block_flow_warm_s", steady, "s",
+            REFERENCE_CPU_BLOCK_FLOW_S / steady,
+            "SERVING steady state (INTMAX_TPU_SERVING=1 Pallas kernels, "
+            "2nd in-process run, all programs loaded, proofs fully "
+            "recomputed); baseline MEASURED: same warm recursive block "
+            "flow on the 4-core CPU host (282 s); vs_baseline > 1 means "
+            "faster than CPU",
+        )
+    else:
+        _emit(
+            "block_flow_freshproc_s", fresh, "s",
+            REFERENCE_CPU_BLOCK_FLOW_S / fresh,
+            "fresh-process run, default jnp-kernel dispatch (pays "
+            "per-process executable device loads through the remote "
+            "backend; an attached-TPU deployment pays ms-scale loads "
+            "instead — docs/perf_notes.md round 4); same measured CPU "
+            "baseline",
+        )
 
 
 def _worker(cpu: bool, only_poseidon: bool = False,
@@ -284,10 +304,12 @@ def main():
     headline = run(["--tpu-worker", "--only-poseidon"], timeout=1500)
     # Stage 2: the wide metrics (NTT throughput, zkdsa proofs/s).
     lines = run(["--tpu-worker", "--skip-poseidon"])
-    # Stage 3: the flagship — warm recursive block flow wall-clock.
-    # Optional: a cold-cache machine pays compile marathons instead and
-    # times out, losing only this line.
-    flow = run(["--blockflow-worker"], timeout=2800)
+    # Stage 3: the flagship, two configurations in their own processes —
+    # serving steady state (Pallas kernels, 2 in-process runs) and the
+    # default fresh-process run.  Optional: a cold-cache machine pays
+    # compile marathons instead and times out, losing only these lines.
+    flow = run(["--blockflow-worker", "--serving"], timeout=2400)
+    flow += run(["--blockflow-worker"], timeout=1800)
     missing = [l for l in flow if "block_flow_warm_s" in l] == []
     if missing:
         print("# bench stage 3 (block flow) produced no metric "
@@ -318,7 +340,7 @@ if __name__ == "__main__":
             skip_poseidon="--skip-poseidon" in sys.argv,
         )
     elif "--blockflow-worker" in sys.argv:
-        _worker_blockflow()
+        _worker_blockflow(serving="--serving" in sys.argv)
     elif "--cpu-worker" in sys.argv:
         _worker(cpu=True)
     else:

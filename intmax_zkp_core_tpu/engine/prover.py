@@ -543,8 +543,19 @@ def get_circuit_kernels(pd):
         # shapes alone — it must ride in the AOT cache key.  "ntt2": the
         # mixed-radix NTT rework changed the graphs embedding intt, and the
         # AOT key does not hash the jaxpr — stale executables would silently
-        # keep the old kernel
-        return AotJit(f, name, extra=f"b{cfg.fri.blowup}-ntt2") if use_jit else f
+        # keep the old kernel.  The Pallas-NTT mode also changes embedded
+        # intt graphs (value-identical, but the executable must match the
+        # mode it claims to measure).
+        from ..ops.ntt import _pallas_ntt_enabled
+
+        tag = "-pntt" if (
+            jax.default_backend() != "cpu" and _pallas_ntt_enabled()
+        ) else ""
+        return (
+            AotJit(f, name, extra=f"b{cfg.fri.blowup}-ntt2{tag}")
+            if use_jit
+            else f
+        )
 
     perm_quotient_fn = _wrap(perm_quotient_part, "perm_quotient")
     finish_fn = _wrap(quotient_finish, "quotient_finish")

@@ -129,7 +129,6 @@ def _scalars(zetas, gzetas, c1z, c2gz):
     )
 
 
-@partial(jax.jit, static_argnums=(4,))
 def _stage(comb1, comb2, xs, sc, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -174,9 +173,17 @@ def fri_initial_pallas_batched(comb1, comb2, xs, zetas, gzetas, c1z, c2gz,
                                interpret: bool = False):
     """Batched drop-in for ``vmap(_fri_initial_one)``: comb1/comb2
     [K, L, 2] ext, xs [L] base domain points, per-proof scalars [K, 2]
-    -> G [K, L, 2], bit-identical to the jnp path."""
+    -> G [K, L, 2], bit-identical to the jnp path.  Disk-backed
+    executable cache (ops/pallas_aot.py)."""
+    from .pallas_aot import aot_kernel
+
     sc = _scalars(zetas, gzetas, c1z, c2gz)
-    return _stage(comb1, comb2, xs, sc, interpret)
+    fn = aot_kernel(
+        "fri_init_pallas",
+        lambda: partial(_stage, interpret=interpret),
+        (interpret,),
+    )
+    return fn(comb1, comb2, xs, sc)
 
 
 def fri_initial_jnp_limb(comb1, comb2, xs, zeta, gzeta, c1z, c2gz):

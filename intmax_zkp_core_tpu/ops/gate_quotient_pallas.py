@@ -224,15 +224,27 @@ def poseidon_gate_quotient_jnp_limb(wires_lde, sel_col, alphas, acc, apows,
     return _fuse(out_lo, out_hi).reshape(C, L), out_apows
 
 
-@partial(jax.jit, static_argnums=(5, 6))
 def poseidon_gate_quotient_pallas(wires_lde, sel_col, alphas, acc, apows,
                                   C: int, interpret: bool = False):
     """Drop-in for the jnp poseidon ``_gate_quotient_chunk`` run function
     (full constraint range): returns (acc', apows'), bit-identical.
+    Disk-backed executable cache (ops/pallas_aot.py).
 
     wires_lde [W, L] u64; sel_col [L]; alphas [C]; acc [C, L]; apows [C].
     L must be a multiple of 64 (8 sublanes x 8-lane minimum tile).
     """
+    from .pallas_aot import aot_kernel
+
+    fn = aot_kernel(
+        "gate_quotient_pallas",
+        lambda: partial(_gate_quotient_impl, C=C, interpret=interpret),
+        (C, interpret),
+    )
+    return fn(wires_lde, sel_col, alphas, acc, apows)
+
+
+def _gate_quotient_impl(wires_lde, sel_col, alphas, acc, apows,
+                        C: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from ..engine.gates import GATE_TYPES
@@ -308,7 +320,6 @@ def _make_batched_kernel(gate, n_cs: int, C: int):
     return kernel
 
 
-@partial(jax.jit, static_argnums=(5, 6))
 def poseidon_gate_quotient_pallas_batched(wires_lde, sel_col, alphas, acc,
                                           apows, C: int,
                                           interpret: bool = False):
@@ -317,7 +328,21 @@ def poseidon_gate_quotient_pallas_batched(wires_lde, sel_col, alphas, acc,
     [K, C], acc [K, C, L] -> (acc' [K, C, L], apows' [K, C]),
     bit-identical to the jnp path.  The proof axis folds into the Mosaic
     grid, so the batched prover loads ONE small program instead of the
-    330-476 MB per-K vmap executables."""
+    330-476 MB per-K vmap executables.  Disk-backed executable cache
+    (ops/pallas_aot.py)."""
+    from .pallas_aot import aot_kernel
+
+    fn = aot_kernel(
+        "gate_quotient_pallas_batched",
+        lambda: partial(_gate_quotient_batched_impl, C=C,
+                        interpret=interpret),
+        (C, interpret),
+    )
+    return fn(wires_lde, sel_col, alphas, acc, apows)
+
+
+def _gate_quotient_batched_impl(wires_lde, sel_col, alphas, acc,
+                                apows, C: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from ..engine.gates import GATE_TYPES

@@ -147,7 +147,30 @@ def hash_leaves(leaf_data: jnp.ndarray) -> jnp.ndarray:
     if width <= 4:
         out = jnp.zeros((n, 4), dtype=jnp.uint64)
         return out.at[:, :width].set(leaf_data)
+    if _fused_hash_enabled() and not isinstance(leaf_data, jax.core.Tracer):
+        return _fused("merkle_leaves", ps.hash_no_pad)(leaf_data)
     return ps.hash_no_pad(leaf_data)
+
+
+def _fused_hash_enabled() -> bool:
+    """Serving mode: fuse each tree level's reshape + sponge into ONE
+    AOT-cached program per level shape (inside: the Pallas permutation).
+    The eager path issues ~5 tiny programs per level whose per-process
+    loads dominate fresh-process tree building through the remote
+    backend (~0.1-1 s each x hundreds of shapes); the fused programs are
+    keyed stably by (name, shapes) in the executable cache, so a warm
+    process loads ~18 programs total for all trees."""
+    import jax as _jax
+
+    from ..runtime import poseidon_pallas_enabled
+
+    return _jax.default_backend() != "cpu" and poseidon_pallas_enabled()
+
+
+def _fused(name: str, fn):
+    from .pallas_aot import aot_kernel
+
+    return aot_kernel(name, lambda: fn, ())
 
 
 def _level_two_to_one(cur):
@@ -160,9 +183,17 @@ def _level_two_to_one(cur):
     same ~7 bucketed permutation programs.  (The previous per-level-shape
     jit compiled one program per level: ~14 programs per tree height,
     each costing 10-80 s of per-process first-call load through the
-    remote backend — docs/perf_notes.md round 3.)"""
+    remote backend — docs/perf_notes.md round 3; under serving mode the
+    level is one fused AOT-cached program instead, see
+    ``_fused_hash_enabled``.)"""
     m = cur.shape[0]
+    if _fused_hash_enabled() and not isinstance(cur, jax.core.Tracer):
+        return _fused("merkle_level", _level_impl)(cur)
     return ps.hash_no_pad(cur.reshape(m // 2, 8))
+
+
+def _level_impl(cur):
+    return ps.hash_no_pad(cur.reshape(cur.shape[0] // 2, 8))
 
 
 def build_merkle_levels(leaf_data, cap_height: int) -> list:
@@ -192,6 +223,14 @@ def build_merkle_tree(leaf_data, cap_height: int) -> MerkleTree:
 def _level_two_to_one_batch(cur):
     """Batched tree level: [K, m, 4] -> [K, m/2, 4] (see
     ``_level_two_to_one`` — adjacent-pair reshape + bucketed sponge)."""
+    K, m, _ = cur.shape
+    half = m // 2
+    if _fused_hash_enabled() and not isinstance(cur, jax.core.Tracer):
+        return _fused("merkle_level_batch", _level_batch_impl)(cur)
+    return ps.hash_no_pad(cur.reshape(K * half, 8)).reshape(K, half, 4)
+
+
+def _level_batch_impl(cur):
     K, m, _ = cur.shape
     half = m // 2
     return ps.hash_no_pad(cur.reshape(K * half, 8)).reshape(K, half, 4)

@@ -40,7 +40,7 @@ canonical 2^k-th root of unity, natural order; NTT(a)[i] = sum_j a_j w^(ij).
 from __future__ import annotations
 
 import os
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -166,10 +166,32 @@ def _twiddle_tables(log_n: int, inverse: bool):
     return rev, tables
 
 
+def _pallas_ntt_enabled() -> bool:
+    """Route big transforms through the Mosaic four-step kernel
+    (ops/ntt_pallas): pass-fused VMEM local NTTs, one HBM transpose.
+    Defaults to serving mode on non-CPU backends (the program-load
+    economics of docs/perf_notes.md round 4); INTMAX_TPU_NTT_PALLAS
+    overrides either way."""
+    v = os.environ.get("INTMAX_TPU_NTT_PALLAS")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    from ..runtime import serving_enabled
+
+    return serving_enabled()
+
+
 def _ntt_impl(a: jax.Array, inverse: bool) -> jax.Array:
     n = a.shape[-1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, "length must be a power of two"
+    if jax.default_backend() != "cpu" and _pallas_ntt_enabled():
+        from .ntt_pallas import can_pallas_ntt, ntt_pallas
+
+        if can_pallas_ntt(n):
+            flat = a.reshape(-1, n)
+            return ntt_pallas(flat, inverse).reshape(a.shape)
     if _mode() == "stockham":
         x = _ntt_stockham(a, log_n, inverse)
         if inverse:
@@ -202,16 +224,42 @@ def _ntt_stages(a: jax.Array, inverse: bool) -> jax.Array:
     return x
 
 
-@jax.jit
+def _aot_entry(name: str, make_fn, statics: tuple):
+    """Eager entry points go through the disk-backed executable cache
+    when the Pallas NTT is active: a pallas_call's lowering is not
+    byte-stable across processes, so any plain-jit graph embedding one
+    misses the HLO-keyed compile cache every process and triggers a
+    remote recompile (ops/pallas_aot.py).  Pure-jnp graphs keep plain
+    jit (their cache keys are stable)."""
+    from .pallas_aot import aot_kernel
+
+    return aot_kernel(name, make_fn, statics)
+
+
 def ntt(a: jax.Array) -> jax.Array:
     """Coefficients -> evaluations on the size-n subgroup (natural order)."""
-    return _ntt_impl(a, inverse=False)
+    if isinstance(a, jax.core.Tracer) or not (
+        jax.default_backend() != "cpu" and _pallas_ntt_enabled()
+    ):
+        return _ntt_jit(a)
+    fn = _aot_entry("ntt", lambda: partial(_ntt_impl, inverse=False),
+                    ("fwd",))
+    return fn(a)
 
 
-@jax.jit
 def intt(a: jax.Array) -> jax.Array:
     """Evaluations -> coefficients."""
-    return _ntt_impl(a, inverse=True)
+    if isinstance(a, jax.core.Tracer) or not (
+        jax.default_backend() != "cpu" and _pallas_ntt_enabled()
+    ):
+        return _intt_jit(a)
+    fn = _aot_entry("intt", lambda: partial(_ntt_impl, inverse=True),
+                    ("inv",))
+    return fn(a)
+
+
+_ntt_jit = jax.jit(partial(_ntt_impl, inverse=False))
+_intt_jit = jax.jit(partial(_ntt_impl, inverse=True))
 
 
 @lru_cache(maxsize=40)
@@ -224,15 +272,7 @@ def _shift_powers(n: int, shift: int):
     return out
 
 
-from functools import partial
-
-
-@partial(jax.jit, static_argnums=(1, 2))
-def coset_lde(a: jax.Array, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> jax.Array:
-    """Low-degree extension: evaluate the polynomial with coefficients `a`
-    (shape [..., n]) on the coset ``shift * H`` of the 2^rate_bits-times
-    larger subgroup H.  Mirrors plonky2's ``coset_fft`` with
-    ``F::coset_shift`` used by all prover commitments."""
+def _coset_lde_impl(a: jax.Array, rate_bits: int, shift: int) -> jax.Array:
     n = a.shape[-1]
     lde_n = n << rate_bits
     powers = jnp.asarray(_shift_powers(n, shift % P))
@@ -242,9 +282,27 @@ def coset_lde(a: jax.Array, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GROUP
     return ntt(padded)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def coset_ilde(evals: jax.Array, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> jax.Array:
-    """Inverse of coset_lde: recover the n low-order coefficients."""
+_coset_lde_jit = jax.jit(_coset_lde_impl, static_argnums=(1, 2))
+
+
+def coset_lde(a: jax.Array, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> jax.Array:
+    """Low-degree extension: evaluate the polynomial with coefficients `a`
+    (shape [..., n]) on the coset ``shift * H`` of the 2^rate_bits-times
+    larger subgroup H.  Mirrors plonky2's ``coset_fft`` with
+    ``F::coset_shift`` used by all prover commitments."""
+    if isinstance(a, jax.core.Tracer) or not (
+        jax.default_backend() != "cpu" and _pallas_ntt_enabled()
+    ):
+        return _coset_lde_jit(a, rate_bits, shift)
+    fn = _aot_entry(
+        "coset_lde",
+        lambda: partial(_coset_lde_impl, rate_bits=rate_bits, shift=shift),
+        (rate_bits, shift),
+    )
+    return fn(a)
+
+
+def _coset_ilde_impl(evals: jax.Array, rate_bits: int, shift: int) -> jax.Array:
     lde_n = evals.shape[-1]
     n = lde_n >> rate_bits
     coeffs = intt(evals)
@@ -252,6 +310,23 @@ def coset_ilde(evals: jax.Array, rate_bits: int, shift: int = gl.MULTIPLICATIVE_
     powers = jnp.asarray(_shift_powers(lde_n, inv_shift))
     unshifted = gl.mul(coeffs, powers)
     return unshifted[..., :n]
+
+
+_coset_ilde_jit = jax.jit(_coset_ilde_impl, static_argnums=(1, 2))
+
+
+def coset_ilde(evals: jax.Array, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> jax.Array:
+    """Inverse of coset_lde: recover the n low-order coefficients."""
+    if isinstance(evals, jax.core.Tracer) or not (
+        jax.default_backend() != "cpu" and _pallas_ntt_enabled()
+    ):
+        return _coset_ilde_jit(evals, rate_bits, shift)
+    fn = _aot_entry(
+        "coset_ilde",
+        lambda: partial(_coset_ilde_impl, rate_bits=rate_bits, shift=shift),
+        (rate_bits, shift),
+    )
+    return fn(evals)
 
 
 def eval_poly_at(coeffs: jax.Array, x: jax.Array) -> jax.Array:

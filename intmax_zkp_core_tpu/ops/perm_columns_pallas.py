@@ -230,9 +230,8 @@ def _finish(f_pref, g_pref_inv, row_quot, nch: int):
     return z, pp, cum[:, :, -1]
 
 
-@partial(jax.jit, static_argnums=(5,))
-def _perm_columns_batched_jit(wires, betas, gammas, id_vals, sigma,
-                              interpret: bool):
+def _perm_columns_batched_impl(wires, betas, gammas, id_vals, sigma,
+                               interpret: bool):
     nch = (wires.shape[1] + CHUNK - 1) // CHUNK
     f_pref, g_pref_inv, row_quot = _stage1_batched(
         wires, betas, gammas, id_vals, sigma, interpret
@@ -240,13 +239,28 @@ def _perm_columns_batched_jit(wires, betas, gammas, id_vals, sigma,
     return _finish(f_pref, g_pref_inv, row_quot, nch)
 
 
+# kept under the old name for tests/drives that trace it directly
+_perm_columns_batched_jit = partial(jax.jit, static_argnums=(5,))(
+    _perm_columns_batched_impl
+)
+
+
 def perm_columns_pallas_batched(wires, betas, gammas, id_vals, sigma,
                                 interpret: bool = False):
     """Batched drop-in for ``vmap(perm_columns_impl)``: wires [K, R, n],
     challenges [K, C] -> (z [K, C, n], pp [K, C, nch-1, n], wrap [K, C]),
-    bit-identical to the jnp path."""
-    return _perm_columns_batched_jit(wires, betas, gammas, id_vals, sigma,
-                                     interpret)
+    bit-identical to the jnp path.  Runs through the disk-backed
+    executable cache: a pallas_call's lowering is not byte-stable across
+    processes, so the HLO-keyed compile cache misses every process and
+    triggers a remote recompile (ops/pallas_aot.py)."""
+    from .pallas_aot import aot_kernel
+
+    fn = aot_kernel(
+        "perm_columns_pallas",
+        lambda: partial(_perm_columns_batched_impl, interpret=interpret),
+        (interpret,),
+    )
+    return fn(wires, betas, gammas, id_vals, sigma)
 
 
 def perm_columns_pallas(wires, betas, gammas, id_vals, sigma,

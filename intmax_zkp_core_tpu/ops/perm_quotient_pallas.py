@@ -142,7 +142,6 @@ def _make_kernel(R: int, nch: int):
     return kernel
 
 
-@partial(jax.jit, static_argnums=(10,))
 def _stage_batched(wires_lde, zs_lde, zs_shift, pps_lde, sc, bk, tbl,
                    sigma_lde, xs, l0, interpret: bool):
     """wires_lde [K, R, L] (routed wires only), zs/zs_shift [K, C, L],
@@ -237,13 +236,20 @@ def perm_quotient_pallas_batched(wires_lde, zs_lde, pps_lde, betas, gammas,
     (acc [K, C, L], apows [K, C]), bit-identical to the jnp path.
     ``wires_lde`` may carry all W wires; only the routed R = sigma rows
     are read.  ``k_is``: the [R] coset-shift constants of the circuit."""
+    from .pallas_aot import aot_kernel
+
     R = sigma_lde.shape[0]
     nch = (R + CHUNK - 1) // CHUNK
     zs_shift = jnp.roll(zs_lde, -blowup, axis=-1)
     sc, bk, tbl = _scalar_tables(betas, gammas, alphas, k_is, nch)
-    acc = _stage_batched(
+    fn = aot_kernel(
+        "perm_quotient_pallas",
+        lambda: partial(_stage_batched, interpret=interpret),
+        (interpret,),
+    )
+    acc = fn(
         wires_lde[:, :R], zs_lde, zs_shift, pps_lde, sc, bk, tbl,
-        sigma_lde, xs, l0, interpret,
+        sigma_lde, xs, l0,
     )
     return acc, gl.pow_const(alphas, nch + 1)
 

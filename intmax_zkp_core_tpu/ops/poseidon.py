@@ -227,7 +227,19 @@ def _permute_dispatch(state: jax.Array) -> jax.Array:
             [flat, jnp.zeros((bucket - nrows, SPONGE_WIDTH), dtype=jnp.uint64)],
             axis=0,
         )
-    out = _permute_auto_jit(flat)
+    from ..runtime import poseidon_pallas_enabled
+
+    if poseidon_pallas_enabled():
+        # straight to the disk-backed-executable Pallas kernel: wrapping
+        # it in _permute_auto_jit would embed the pallas_call in a
+        # plain-jit graph whose HLO cache key is not process-stable
+        # (every fresh process would remote-recompile; ops/pallas_aot.py)
+        try:
+            out = _permute_via_pallas(flat)
+        except Exception:
+            out = _permute_auto_jit(flat)
+    else:
+        out = _permute_auto_jit(flat)
     if bucket != nrows:
         out = out[:nrows]
     return out.reshape(state.shape)

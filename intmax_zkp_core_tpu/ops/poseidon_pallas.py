@@ -250,8 +250,20 @@ def hash_no_pad_pallas(inputs: jax.Array, interpret: bool = False,
     return _hash_no_pad_pallas(inputs, interpret, mxu)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
 def _hash_no_pad_pallas(inputs: jax.Array, interpret: bool, mxu: bool) -> jax.Array:
+    if isinstance(inputs, jax.core.Tracer):
+        return _hash_no_pad_impl(inputs, interpret, mxu)
+    from .pallas_aot import aot_kernel
+
+    fn = aot_kernel(
+        "poseidon_sponge_pallas",
+        lambda: partial(_hash_no_pad_impl, interpret=interpret, mxu=mxu),
+        (interpret, mxu),
+    )
+    return fn(inputs)
+
+
+def _hash_no_pad_impl(inputs: jax.Array, interpret: bool, mxu: bool) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -305,8 +317,20 @@ def permute_pallas(states: jax.Array, interpret: bool = False,
     return _permute_pallas(states, interpret, mxu)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
 def _permute_pallas(states: jax.Array, interpret: bool, mxu: bool) -> jax.Array:
+    if isinstance(states, jax.core.Tracer):
+        return _permute_impl(states, interpret, mxu)
+    from .pallas_aot import aot_kernel
+
+    fn = aot_kernel(
+        "poseidon_permute_pallas",
+        lambda: partial(_permute_impl, interpret=interpret, mxu=mxu),
+        (interpret, mxu),
+    )
+    return fn(states)
+
+
+def _permute_impl(states: jax.Array, interpret: bool, mxu: bool) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -52,10 +52,21 @@ def _make_kernel(rows8: int):
     return kernel
 
 
-@partial(jax.jit, static_argnums=(2,))
 def zinv_mul_pallas(acc, z_h, interpret: bool = False):
     """acc [..., L] u64, z_h [L] u64 -> acc * z_h^{-1} elementwise mod p.
-    All leading axes fold into the row dimension of one Mosaic program."""
+    All leading axes fold into the row dimension of one Mosaic program
+    (disk-backed executable cache — see ops/pallas_aot.py)."""
+    from .pallas_aot import aot_kernel
+
+    fn = aot_kernel(
+        "zinv_mul_pallas",
+        lambda: partial(_zinv_mul_impl, interpret=interpret),
+        (interpret,),
+    )
+    return fn(acc, z_h)
+
+
+def _zinv_mul_impl(acc, z_h, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -19,8 +19,8 @@ if "collective_call_terminate" not in _flags:
     # worker crash in the meshed flagship test's sharded-tree gathers).
     # Oversubscription should be slow, not fatal.
     _flags += (
-        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
     )
 os.environ["XLA_FLAGS"] = _flags
 
