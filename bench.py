@@ -107,7 +107,24 @@ def _measure_ntt(log_n: int, batch: int, iters: int) -> float:
     a = jnp.asarray(
         rng.integers(0, 0xFFFFFFFF00000001, size=(batch, 1 << log_n), dtype=np.uint64)
     )
-    return _chain_throughput(nt.ntt, a, batch, iters)
+    fn = nt.ntt
+    if jax.default_backend() not in ("cpu",):
+        # the Mosaic four-step kernel (pass-fused VMEM local transforms)
+        # is the serving default; verify bit-identity against the XLA
+        # Stockham kernel on this batch before trusting it
+        try:
+            from intmax_zkp_core_tpu.ops.ntt_pallas import (
+                can_pallas_ntt,
+                ntt_pallas,
+            )
+
+            if can_pallas_ntt(1 << log_n) and bool(
+                (ntt_pallas(a) == nt._ntt_jit(a)).all()
+            ):
+                fn = ntt_pallas
+        except Exception:
+            pass
+    return _chain_throughput(fn, a, batch, iters)
 
 
 def _measure_block_flow(serving: bool) -> tuple:

@@ -197,11 +197,9 @@ def query_rounds(
         gathers = []  # flat list of device arrays; counts per layer
         counts = []
         for tree, qi in zip(trees, qis):
-            leaf_rows = jnp.take(tree.levels_dev[0], jnp.asarray(qi), axis=0)
-            paths = tree.path_gathers(qi)
-            gathers.append(leaf_rows)
-            gathers.extend(paths)
-            counts.append(1 + len(paths))
+            opened = tree.open_gathers(qi)  # [leaf rows] + sibling paths
+            gathers.extend(opened)
+            counts.append(len(opened))
         fetched = mk.fetch_arrays(*gathers) if gathers else []
         rounds = []
         for k in range(cfg.num_query_rounds):

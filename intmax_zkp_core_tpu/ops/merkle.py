@@ -109,7 +109,16 @@ class DeviceMerkleTree:
     def path_gathers(self, indices) -> list:
         """Device gathers of the sibling digests for each query index:
         returns a list over levels of [nq, 4] device arrays (excluding
-        the cap).  Combine across trees with one ``fetch_arrays``."""
+        the cap).  Combine across trees with one ``fetch_arrays``.
+
+        Under serving mode the whole per-level gather chain runs as ONE
+        AOT-cached program per tree shape (the eager loop issues one
+        tiny program per level whose per-process loads add up through
+        the remote backend)."""
+        if _fused_hash_enabled():
+            idx_dev = jnp.asarray(np.array(indices, dtype=np.int64))
+            fn = _fused("tree_paths", _paths_impl)
+            return list(fn(idx_dev, *self.levels_dev[:-1]))
         # np.array (not asarray): >>= below mutates, callers reuse indices
         idx = np.array(indices, dtype=np.int64)
         out = []
@@ -117,6 +126,19 @@ class DeviceMerkleTree:
             out.append(jnp.take(level, jnp.asarray(idx ^ 1), axis=0))
             idx >>= 1
         return out
+
+    def open_gathers(self, indices) -> list:
+        """[leaf rows at ``indices``] + ``path_gathers``: the full query
+        opening of this tree as device gathers, fused into one program
+        per tree shape under serving mode."""
+        if _fused_hash_enabled():
+            idx_dev = jnp.asarray(np.array(indices, dtype=np.int64))
+            fn = _fused("tree_open", _open_impl)
+            return list(fn(idx_dev, *self.levels_dev[:-1]))
+        idx = np.asarray(indices, dtype=np.int64)
+        return [jnp.take(self.levels_dev[0], jnp.asarray(idx), axis=0)] + (
+            self.path_gathers(indices)
+        )
 
     @staticmethod
     def paths_from_fetched(fetched: list, indices) -> list:
@@ -150,6 +172,19 @@ def hash_leaves(leaf_data: jnp.ndarray) -> jnp.ndarray:
     if _fused_hash_enabled() and not isinstance(leaf_data, jax.core.Tracer):
         return _fused("merkle_leaves", ps.hash_no_pad)(leaf_data)
     return ps.hash_no_pad(leaf_data)
+
+
+def _paths_impl(idx, *levels):
+    out = []
+    cur = idx
+    for level in levels:
+        out.append(jnp.take(level, cur ^ 1, axis=0))
+        cur = cur >> 1
+    return tuple(out)
+
+
+def _open_impl(idx, *levels):
+    return (jnp.take(levels[0], idx, axis=0),) + _paths_impl(idx, *levels)
 
 
 def _fused_hash_enabled() -> bool:
