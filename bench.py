@@ -136,7 +136,7 @@ def _measure_block_flow(serving: bool) -> tuple:
     ``serving=True``: INTMAX_TPU_SERVING=1 (the hand-written Pallas
     kernels are the defaults) and the flow runs TWICE — the second run is
     the serving steady state, everything loaded, every proof fully
-    recomputed; measured round 4: 50.4 s vs 109.5 s for the jnp kernels.
+    recomputed (history of measured values: docs/perf_notes.md).
     ``serving=False``: one run with the default (jnp-kernel) dispatch —
     the fresh-process configuration, which through the remote axon
     backend is load-bound either way (each Mosaic program's first call

@@ -117,7 +117,7 @@ class DeviceMerkleTree:
         the remote backend)."""
         if _fused_hash_enabled():
             idx_dev = jnp.asarray(np.array(indices, dtype=np.int64))
-            fn = _fused("tree_paths", _paths_impl)
+            fn = _fused("tree_paths", _paths_impl, hashes=False)
             return list(fn(idx_dev, *self.levels_dev[:-1]))
         # np.array (not asarray): >>= below mutates, callers reuse indices
         idx = np.array(indices, dtype=np.int64)
@@ -133,7 +133,7 @@ class DeviceMerkleTree:
         per tree shape under serving mode."""
         if _fused_hash_enabled():
             idx_dev = jnp.asarray(np.array(indices, dtype=np.int64))
-            fn = _fused("tree_open", _open_impl)
+            fn = _fused("tree_open", _open_impl, hashes=False)
             return list(fn(idx_dev, *self.levels_dev[:-1]))
         idx = np.asarray(indices, dtype=np.int64)
         return [jnp.take(self.levels_dev[0], jnp.asarray(idx), axis=0)] + (
@@ -202,10 +202,21 @@ def _fused_hash_enabled() -> bool:
     return _jax.default_backend() != "cpu" and poseidon_pallas_enabled()
 
 
-def _fused(name: str, fn):
+def _fused(name: str, fn, hashes: bool = True):
     from .pallas_aot import aot_kernel
 
-    return aot_kernel(name, lambda: fn, ())
+    # The AOT key does not hash the jaxpr, so every env flag that changes
+    # the traced graph must appear in the statics (ADVICE round 4): the
+    # hashing entries embed the Pallas permutation, whose MDS layer is
+    # selected by INTMAX_TPU_POSEIDON_MXU at trace time.  (The Pallas-
+    # vs-jnp choice itself is fixed True here by ``_fused_hash_enabled``.)
+    # Pure gather entries (tree_paths/tree_open) have no flag dependence.
+    statics: tuple = ()
+    if hashes:
+        from .poseidon_pallas import _mxu_enabled
+
+        statics = ("mxu", _mxu_enabled())
+    return aot_kernel(name, lambda: fn, statics)
 
 
 def _level_two_to_one(cur):

@@ -192,6 +192,19 @@ def _ntt_impl(a: jax.Array, inverse: bool) -> jax.Array:
         if can_pallas_ntt(n):
             flat = a.reshape(-1, n)
             return ntt_pallas(flat, inverse).reshape(a.shape)
+    return ntt_jnp(a, inverse)
+
+
+def ntt_jnp(a: jax.Array, inverse: bool = False) -> jax.Array:
+    """The pure-XLA formulation, never the Mosaic kernel.
+
+    shard_map bodies MUST use this (parallel/ntt_sharded): a pallas_call
+    inlined into an SPMD-partitioned graph is an untested Mosaic/SPMD
+    interaction, which is why every sibling Pallas dispatch site guards
+    with ``mesh is None`` (ADVICE round 4)."""
+    n = a.shape[-1]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n, "length must be a power of two"
     if _mode() == "stockham":
         x = _ntt_stockham(a, log_n, inverse)
         if inverse:
@@ -233,7 +246,11 @@ def _aot_entry(name: str, make_fn, statics: tuple):
     jit (their cache keys are stable)."""
     from .pallas_aot import aot_kernel
 
-    return aot_kernel(name, make_fn, statics)
+    # The AOT key does not hash the jaxpr: fold in every env flag the
+    # traced graph depends on (ADVICE round 4) — the XLA-formulation mode
+    # (stockham/stages) used for non-Pallas-eligible shapes.  (Pallas
+    # eligibility itself is shape-derived and hence already keyed.)
+    return aot_kernel(name, make_fn, statics + ("m:" + _mode(),))
 
 
 def ntt(a: jax.Array) -> jax.Array:

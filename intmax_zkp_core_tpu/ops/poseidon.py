@@ -193,7 +193,13 @@ def permute_auto(state: jax.Array) -> jax.Array:
         return permute(state)
 
 
-_permute_auto_jit = jax.jit(permute_auto)
+_permute_jnp_jit = jax.jit(permute)
+# Kept deliberately pallas-free: every caller below wants the plain-jnp
+# program (small batches, the Pallas-failure fallback, and warmup
+# preloads) — tracing ``permute_auto`` here instead would, under serving
+# mode, embed the pallas_call in a plain-jit graph whose HLO cache key is
+# not process-stable (ADVICE round 4, medium).
+_permute_auto_jit = _permute_jnp_jit
 
 
 def _permute_dispatch(state: jax.Array) -> jax.Array:
@@ -237,9 +243,11 @@ def _permute_dispatch(state: jax.Array) -> jax.Array:
         try:
             out = _permute_via_pallas(flat)
         except Exception:
-            out = _permute_auto_jit(flat)
+            # pallas-free fallback: _permute_jnp_jit traces ``permute``
+            # directly, never the Pallas branch (process-stable HLO key)
+            out = _permute_jnp_jit(flat)
     else:
-        out = _permute_auto_jit(flat)
+        out = _permute_jnp_jit(flat)
     if bucket != nrows:
         out = out[:nrows]
     return out.reshape(state.shape)

@@ -78,11 +78,13 @@ def ntt_sharded_batch(x: jax.Array, mesh: Mesh, axis_name: str = "d") -> jax.Arr
     tw = jnp.asarray(_twiddle_matrix(log_n1, log_n - log_n1))
 
     def local_fn(xm, twm):
-        # xm: [B, n1, n2/d] — this device's column slice
-        a = jnp.transpose(nt.ntt(jnp.transpose(xm, (0, 2, 1))), (0, 2, 1))
+        # xm: [B, n1, n2/d] — this device's column slice.  ntt_jnp, not
+        # ntt: a Mosaic pallas_call must not be inlined into an
+        # SPMD-partitioned shard_map graph (see ops/ntt.ntt_jnp).
+        a = jnp.transpose(nt.ntt_jnp(jnp.transpose(xm, (0, 2, 1))), (0, 2, 1))
         b = gl.mul(a, twm[None])
         b = jax.lax.all_to_all(b, axis_name, split_axis=1, concat_axis=2, tiled=True)
-        c = nt.ntt(b)  # row NTTs on [B, n1/d, n2]
+        c = nt.ntt_jnp(b)  # row NTTs on [B, n1/d, n2]
         c = jax.lax.all_to_all(c, axis_name, split_axis=2, concat_axis=1, tiled=True)
         # natural order k = k2*n1 + k1 within the local k2 slice
         return jnp.transpose(c, (0, 2, 1)).reshape(B, -1)
@@ -135,13 +137,13 @@ def ntt_sharded(x: jax.Array, mesh: Mesh, axis_name: str = "d") -> jax.Array:
     def local_fn(xm, twm):
         # xm: [n1, n2/d] — this device's column slice
         # column NTTs of size n1: transpose to batch over local columns
-        a = nt.ntt(jnp.transpose(xm))  # [n2/d, n1]
+        a = nt.ntt_jnp(jnp.transpose(xm))  # [n2/d, n1]
         a = jnp.transpose(a)  # [n1, n2/d]
         b = gl.mul(a, twm)
         # stage exchange: reshard from column slices (i2) to row slices (k1)
         b = jax.lax.all_to_all(b, axis_name, split_axis=0, concat_axis=1, tiled=True)
         # row NTTs of size n2 on [n1/d, n2]
-        c = nt.ntt(b)
+        c = nt.ntt_jnp(b)
         # transpose back: reshard rows (k1) -> columns (k2); [n1, n2/d]
         c = jax.lax.all_to_all(c, axis_name, split_axis=1, concat_axis=0, tiled=True)
         # natural order k = k2*n1 + k1: transpose the local [n1, k2-slice]

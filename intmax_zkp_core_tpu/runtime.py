@@ -104,10 +104,14 @@ def warmup(max_log_rows: int = 18, verbose: bool = False) -> float:
         for width in (8, 12):
             outs.append(hash_no_pad_pallas(jnp.zeros((256, width), jnp.uint64)))
     # the jnp permutation buckets are cheap to load but still per-program;
-    # touch them too so tree builds never stall mid-proof
+    # touch them too so tree builds never stall mid-proof.  NB this must
+    # trace the pallas-free jnp body (_permute_jnp_jit): tracing the auto
+    # dispatch here under serving mode would embed the pallas_call in a
+    # plain-jit graph with a process-unstable HLO cache key (silent
+    # 20-80 s remote recompile per bucket per process — ADVICE round 4).
     b = 256
     while b <= (1 << max_log_rows):
-        outs.append(ps._permute_auto_jit(jnp.zeros((b, 12), dtype=jnp.uint64)))
+        outs.append(ps._permute_jnp_jit(jnp.zeros((b, 12), dtype=jnp.uint64)))
         b *= 4
     for o in outs:
         np.asarray(o.ravel()[:1])
