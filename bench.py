@@ -137,13 +137,13 @@ def _measure_block_flow(serving: bool) -> tuple:
     kernels are the defaults) and the flow runs TWICE — the second run is
     the serving steady state, everything loaded, every proof fully
     recomputed (history of measured values: docs/perf_notes.md).
-    ``serving=False``: one run with the default (jnp-kernel) dispatch —
-    the fresh-process configuration, which through the remote axon
-    backend is load-bound either way (each Mosaic program's first call
-    costs 20-140 s vs multi-hundred-MB jnp artifact loads; the jnp side
-    is the better one-shot trade — docs/perf_notes.md round 4).  (A
-    first-ever run on a machine pays cold compiles instead and will blow
-    the stage timeout; the stage is optional for exactly that reason.)"""
+    ``serving=False``: one run with the DEFAULT dispatch — since round 5
+    that is the serving kernel set on accelerators (small persisted
+    executables; runtime.serving_enabled) — measuring the fresh-process
+    configuration: every per-process program load/deserialize is paid
+    inside the timed window.  (A first-ever run on a machine pays cold
+    compiles instead and will blow the stage timeout; the stage is
+    optional for exactly that reason.)"""
     import os
 
     os.environ.setdefault(
@@ -220,11 +220,12 @@ def _worker_blockflow(serving: bool) -> None:
         _emit(
             "block_flow_freshproc_s", fresh, "s",
             REFERENCE_CPU_BLOCK_FLOW_S / fresh,
-            "fresh-process run, default jnp-kernel dispatch (pays "
-            "per-process executable device loads through the remote "
-            "backend; an attached-TPU deployment pays ms-scale loads "
-            "instead — docs/perf_notes.md round 4); same measured CPU "
-            "baseline",
+            "fresh-process run, default dispatch (serving Pallas kernels "
+            "+ persisted executables since round 5; pays every "
+            "per-process program load through the remote backend — an "
+            "attached-TPU deployment pays ms-scale loads instead); same "
+            "measured CPU baseline; vs_baseline > 1 means faster than "
+            "CPU",
         )
 
 

@@ -43,6 +43,7 @@ from .fri import (
 )
 from .prover import (
     Proof,
+    _PhaseTimer,
     _cap_tuples,
     _combine_columns,
     _extract_initial_openings,
@@ -161,6 +162,8 @@ def prove_batch(
     nch = n_chunks(R)
     K_real = len(pws)
     assert K_real >= 1
+    timer = _PhaseTimer()
+    timer.phase("kernels")  # per-circuit tables + AOT kernel setup
     kernels = get_circuit_kernels(pd)
     intern = kernels["_internals"]
     use_jit = intern["use_jit"] or mesh is not None
@@ -185,6 +188,7 @@ def prove_batch(
         def put(arr):
             return jnp.asarray(arr)
 
+    timer.phase("witness")
     # ---- 1. witness fill (host, per proof) ----
     wires_all = np.empty((K, cfg.num_wires, n), dtype=np.uint64)
     public_inputs_all = []
@@ -199,6 +203,7 @@ def prove_batch(
         public_inputs_all.append(public_inputs_all[K_real - 1])
         pi_hashes.append(pi_hashes[K_real - 1])
 
+    timer.phase("commit_wires")
     # ---- 2. commit wires ----
     wires_dev = put(wires_all)
     wire_coeffs_dev, wire_lde_dev, wire_lde, wires_trees, _ = _commit_batch(
@@ -215,6 +220,7 @@ def prove_batch(
         betas[k] = ch.get_n_challenges(C)
         gammas[k] = ch.get_n_challenges(C)
 
+    timer.phase("perm_columns")
     # ---- 3. permutation argument columns ----
     from ..runtime import perm_pallas_enabled
 
@@ -257,6 +263,7 @@ def prove_batch(
         ch.observe_cap(_cap_tuples(zs_pp_trees[k]))
         alphas[k] = ch.get_n_challenges(C)
 
+    timer.phase("quotient")
     # ---- 4. quotient (vmapped chunked kernels) ----
     wires_lde_arr = wire_lde_dev
     zs_lde_arr = zspp_lde_dev[:, :C]
@@ -359,6 +366,7 @@ def prove_batch(
         ch.observe_cap(_cap_tuples(quotient_trees[k]))
         zetas.append(ch.get_extension_challenge())
 
+    timer.phase("openings")
     # ---- 5. openings ----
     g_n = gl.primitive_root_of_unity(n.bit_length() - 1)
     gzetas = [(z[0] * g_n % P, z[1] * g_n % P) for z in zetas]
@@ -398,6 +406,7 @@ def prove_batch(
                 ch.observe_ext(o)
         openings_all.append(openings)
 
+    timer.phase("fri")
     # ---- 6. FRI ----
     alpha_fris = [ch.get_extension_challenge() for ch in challengers]
     cs_lde_dev = intern["cs_lde_dev"]
@@ -514,6 +523,7 @@ def prove_batch(
             challengers[k].observe_ext(c)
         final_polys.append(fp)
 
+    timer.phase("queries")
     proofs = []
     for k, ch in enumerate(challengers):
         pow_witness = grind_pow(ch, fri_cfg.proof_of_work_bits)
@@ -544,4 +554,5 @@ def prove_batch(
                 public_inputs=[int(v) for v in public_inputs_all[k]],
             )
         )
+    timer.done()
     return proofs[:K_real]

@@ -1,20 +1,14 @@
 """Runtime mode flags + program warmup for long-lived provers.
 
-The framework has two legitimate operating points on a TPU backend
-(docs/perf_notes.md round 3 measured why):
-
-* **fresh-process** — one-shot proving.  Mosaic/Pallas custom-call
-  programs cost 20-140 s for their first call in a process through the
-  remote backend (regardless of size), so the default dispatch paths
-  use the plain-jnp kernels whose programs load in 2-8 s.
-* **serving** — a resident block producer.  Steady-state throughput is
-  what matters, so the hand-written Pallas kernels (2x permutation,
-  1.5x gate quotient) should be the defaults and their programs should
-  be loaded once at startup.
-
-``INTMAX_TPU_SERVING=1`` flips every such trade at once, and
-``warmup()`` preloads the serving-mode programs so the first proof is
-already steady-state.  Explicit per-kernel env switches
+On accelerator backends the hand-written Pallas/Mosaic kernels are the
+default since round 5 (see ``serving_enabled``): with the persisted
+executable cache (ops/pallas_aot.py) their small artifacts load faster
+per process than the multi-hundred-MB XLA-emulated u64 programs, and
+they compute 1.5-3x faster — so they win BOTH the fresh-process and the
+steady-state operating point (docs/perf_notes.md rounds 4-5).
+``INTMAX_TPU_SERVING=0`` restores the jnp dispatch everywhere;
+``warmup()`` preloads the serving-mode programs so a resident prover's
+first proof is already steady-state.  Explicit per-kernel env switches
 (``INTMAX_TPU_POSEIDON_PALLAS``, ``INTMAX_TPU_GATE_PALLAS``,
 ``INTMAX_TPU_POSEIDON_MXU``) still win over the mode default in both
 directions.
@@ -41,7 +35,28 @@ def _flag(name: str, mode_default: bool) -> bool:
 
 
 def serving_enabled() -> bool:
-    return os.environ.get("INTMAX_TPU_SERVING") == "1"
+    """Serving kernels (the hand-written Pallas/Mosaic set) are the
+    DEFAULT on accelerator backends since round 5.
+
+    The original reason to default to the jnp kernels — a Mosaic
+    program's 20-140 s per-process first call through the remote
+    backend — was diagnosed in round 4 as per-process REMOTE
+    RECOMPILATION (pallas lowerings are not byte-stable, so the
+    HLO-keyed cache always missed) and fixed by persisting compiled
+    executables (ops/pallas_aot.py).  With warm executable caches a
+    fresh process now runs the full recursive block flow FASTER with
+    the Pallas kernels (~210-250 s) than with the jnp kernels (~565 s,
+    multi-hundred-MB artifact loads) — measured 2026-08-21, v5e
+    (docs/perf_notes.md round 5).  INTMAX_TPU_SERVING=0 restores the
+    jnp dispatch; CPU backends keep the portable jnp path."""
+    v = os.environ.get("INTMAX_TPU_SERVING")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    import jax
+
+    return jax.default_backend() != "cpu"
 
 
 def poseidon_pallas_enabled() -> bool:
