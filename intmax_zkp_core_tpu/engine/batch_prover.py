@@ -353,9 +353,20 @@ def prove_batch(
             q.reshape(K * C, lde_n), intern["shift_pows"]
         ).reshape(K, C * fri_cfg.blowup, n)
     else:
+        # embeds intt: the extra must carry the same Pallas-NTT graph tag
+        # as prover._wrap (reachable with INTMAX_TPU_PERM_PALLAS=0 while
+        # the Pallas NTT stays enabled)
+        from ..ops.ntt import _pallas_ntt_enabled
+
+        if jax.default_backend() != "cpu" and _pallas_ntt_enabled():
+            from ..ops.ntt_pallas import NTT_GRAPH_VERSION
+
+            ntt_tag = f"-pntt{NTT_GRAPH_VERSION}"
+        else:
+            ntt_tag = ""
         finish_batch = _vmapped(
             "finish", intern["quotient_finish"], (0, None, None),
-            use_jit, aot, extra=f"b{fri_cfg.blowup}-ntt2",  # embeds intt: see prover._wrap
+            use_jit, aot, extra=f"b{fri_cfg.blowup}-ntt2{ntt_tag}",
         )
         quotient_matrices_dev = finish_batch(acc, intern["z_h"], intern["shift_pows"])
     quot_coeffs_dev, quot_lde_dev, quot_lde, quotient_trees, _ = _commit_batch(

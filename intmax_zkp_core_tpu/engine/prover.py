@@ -548,9 +548,12 @@ def get_circuit_kernels(pd):
         # mode it claims to measure).
         from ..ops.ntt import _pallas_ntt_enabled
 
-        tag = "-pntt" if (
-            jax.default_backend() != "cpu" and _pallas_ntt_enabled()
-        ) else ""
+        if jax.default_backend() != "cpu" and _pallas_ntt_enabled():
+            from ..ops.ntt_pallas import NTT_GRAPH_VERSION
+
+            tag = f"-pntt{NTT_GRAPH_VERSION}"
+        else:
+            tag = ""
         return (
             AotJit(f, name, extra=f"b{cfg.fri.blowup}-ntt2{tag}")
             if use_jit

@@ -248,9 +248,15 @@ def _aot_entry(name: str, make_fn, statics: tuple):
 
     # The AOT key does not hash the jaxpr: fold in every env flag the
     # traced graph depends on (ADVICE round 4) — the XLA-formulation mode
-    # (stockham/stages) used for non-Pallas-eligible shapes.  (Pallas
-    # eligibility itself is shape-derived and hence already keyed.)
-    return aot_kernel(name, make_fn, statics + ("m:" + _mode(),))
+    # (stockham/stages) used for non-Pallas-eligible shapes — plus the
+    # embedded Mosaic kernel's graph version (these entries exist only
+    # when the Pallas NTT is enabled).
+    from .ntt_pallas import NTT_GRAPH_VERSION
+
+    return aot_kernel(
+        name, make_fn,
+        statics + ("m:" + _mode(), f"pv{NTT_GRAPH_VERSION}"),
+    )
 
 
 def ntt(a: jax.Array) -> jax.Array:

@@ -42,8 +42,23 @@ from . import limb64 as limb
 u32 = jnp.uint32
 P = gl.P_INT
 
-# lane tile of the local-NTT kernels
+# Bumped whenever the traced graph of any kernel here changes: every AOT
+# cache key whose graph embeds this kernel must include it (the AOT key
+# does not hash the jaxpr).  v2 = four-step twiddle applied by fused XLA
+# between the stages (with n^-1 folded into the inverse table) +
+# adaptive lane-tile width.
+NTT_GRAPH_VERSION = 2
+
+# minimum lane tile of the local-NTT kernels
 TL = 128
+
+
+def _tile_lanes(S: int, M: int) -> int:
+    """Lane-tile width for a [S, M] local stage: wider tiles mean fewer
+    grid steps and better VPU pipelining (measured 2^20: TL 128 -> 1024
+    took 611 -> 907 ntt/s), bounded so the block + resident pass tables
+    stay comfortably inside VMEM (~(S*TL) * 4 B * 2 planes * (passes+2))."""
+    return max(TL, min(M, 1024, (1 << 20) // S))
 
 
 def _split(x):
@@ -143,75 +158,64 @@ def _local_ntt(lo, hi, tw_refs, log_s: int, inverse: bool):
 
 
 @lru_cache(maxsize=32)
-def _local_pass_tables_np(log_s: int, inverse: bool):
-    """Per-twiddled-pass [S, TL] (lo, hi) u32 tables (one lane-tile wide;
+def _local_pass_tables_np(log_s: int, inverse: bool, tl: int):
+    """Per-twiddled-pass [S, tl] (lo, hi) u32 tables (one lane-tile wide;
     the factor depends only on the sublane index)."""
     out = []
     for _r, _a, _b, vec in _local_pass_plan(log_s, inverse):
         if vec is None:
             continue
-        col = np.repeat(vec[:, None], TL, axis=1)
+        col = np.repeat(vec[:, None], tl, axis=1)
         out.append(((col & 0xFFFFFFFF).astype(np.uint32),
                     (col >> 32).astype(np.uint32)))
     return out
 
 
-def _make_kernel(log_s: int, inverse: bool, n_tw: int, fourstep: bool,
-                 scale: int | None):
+def _make_kernel(log_s: int, inverse: bool, n_tw: int):
     def kernel(*refs):
         in_lo, in_hi = refs[0], refs[1]
         tw_refs = [(refs[2 + 2 * i], refs[3 + 2 * i]) for i in range(n_tw)]
-        off = 2 + 2 * n_tw
-        if fourstep:
-            fs_lo, fs_hi = refs[off], refs[off + 1]
-            off += 2
-        out_lo, out_hi = refs[off], refs[off + 1]
+        out_lo, out_hi = refs[2 + 2 * n_tw], refs[3 + 2 * n_tw]
         lo, hi = _local_ntt(in_lo[0], in_hi[0], tw_refs, log_s, inverse)
-        if fourstep:
-            lo, hi = limb.mul_mod(lo, hi, fs_lo[:], fs_hi[:])
-        if scale is not None:
-            slo, shi = _const_planes(scale, lo)
-            lo, hi = limb.mul_mod(lo, hi, slo, shi)
         out_lo[0] = lo
         out_hi[0] = hi
 
     return kernel
 
 
-def _local_stage(x, log_s: int, inverse: bool, fourstep_tw, scale,
-                 interpret: bool):
-    """x [Bt, S, M] u64 -> local NTTs over the S axis (optionally times
-    the four-step twiddle [S, M] and/or a scalar), via one Mosaic
-    program with grid (Bt, M/TL)."""
+def _local_stage(x, log_s: int, inverse: bool, interpret: bool):
+    """x [Bt, S, M] u64 -> local NTTs over the S axis, one Mosaic program
+    with grid (Bt, M/tl).
+
+    The four-step twiddle is deliberately NOT applied here: a streamed
+    [S, tl] twiddle block per grid step measured ~1 ms of the 2.57 ms
+    stage at 2^20 (vs 0.18 ms for a VMEM-resident constant mul) — the
+    fused XLA pointwise between the stages does the same multiply at
+    full u64-emulation throughput riding the transpose's HBM pass
+    (docs/perf_notes.md round 5)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     Bt, S, M = x.shape
-    assert S == 1 << log_s and M % TL == 0, (S, M)
+    tl = _tile_lanes(S, M)
+    assert S == 1 << log_s and M % tl == 0, (S, M, tl)
     lo, hi = _split(x)
-    tables = _local_pass_tables_np(log_s, inverse)
+    tables = _local_pass_tables_np(log_s, inverse, tl)
     n_tw = len(tables)
 
     data_spec = pl.BlockSpec(
-        (1, S, TL), lambda b, i: (b, jnp.int32(0), i), memory_space=pltpu.VMEM
+        (1, S, tl), lambda b, i: (b, jnp.int32(0), i), memory_space=pltpu.VMEM
     )
     const_spec = pl.BlockSpec(
-        (S, TL), lambda b, i: (jnp.int32(0), jnp.int32(0)),
+        (S, tl), lambda b, i: (jnp.int32(0), jnp.int32(0)),
         memory_space=pltpu.VMEM,
-    )
-    stream_spec = pl.BlockSpec(
-        (S, TL), lambda b, i: (jnp.int32(0), i), memory_space=pltpu.VMEM
     )
     operands = [lo, hi]
     in_specs = [data_spec, data_spec]
     for tlo, thi in tables:
         operands += [jnp.asarray(tlo), jnp.asarray(thi)]
         in_specs += [const_spec, const_spec]
-    if fourstep_tw is not None:
-        fs_lo, fs_hi = fourstep_tw
-        operands += [fs_lo, fs_hi]
-        in_specs += [stream_spec, stream_spec]
-    kernel = _make_kernel(log_s, inverse, n_tw, fourstep_tw is not None, scale)
+    kernel = _make_kernel(log_s, inverse, n_tw)
     # the unrolled pass chain's live intermediates exceed the default
     # 16 MB scoped-VMEM stack at S >= 512 (measured: 29 MB at the block
     # circuit's [135, 2^18] intt); v5e has headroom above the default
@@ -222,7 +226,7 @@ def _local_stage(x, log_s: int, inverse: bool, fourstep_tw, scale,
         )
     out_lo, out_hi = pl.pallas_call(
         kernel,
-        grid=(Bt, M // TL),
+        grid=(Bt, M // tl),
         in_specs=in_specs,
         out_specs=[data_spec, data_spec],
         out_shape=[jax.ShapeDtypeStruct((Bt, S, M), u32)] * 2,
@@ -234,22 +238,26 @@ def _local_stage(x, log_s: int, inverse: bool, fourstep_tw, scale,
 
 @lru_cache(maxsize=16)
 def _fourstep_tw_np(log_n1: int, log_n2: int, inverse: bool):
+    """[n1, n2] u64 four-step twiddle w^{±i2 k1}; for the inverse the
+    1/n output scale is folded in (every output passes through exactly
+    one table element), so the whole transform needs no separate scale
+    multiply."""
     from ..parallel.ntt_sharded import _twiddle_matrix
 
-    m = _twiddle_matrix(log_n1, log_n2)
-    if inverse:
-        # w^{-i2 k1}: invert elementwise via the inverse root table
-        w = gl.primitive_root_of_unity(log_n1 + log_n2)
-        w_inv = pow(w, P - 2, P)
-        n1, n2 = 1 << log_n1, 1 << log_n2
-        m = np.empty((n1, n2), dtype=np.uint64)
-        for k1 in range(n1):
-            base = pow(w_inv, k1, P)
-            acc = 1
-            for i2 in range(n2):
-                m[k1, i2] = acc
-                acc = acc * base % P
-    return ((m & 0xFFFFFFFF).astype(np.uint32), (m >> 32).astype(np.uint32))
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    if not inverse:
+        return _twiddle_matrix(log_n1, log_n2)
+    w = gl.primitive_root_of_unity(log_n1 + log_n2)
+    w_inv = pow(w, P - 2, P)
+    n_inv = pow(n1 * n2, P - 2, P)
+    m = np.empty((n1, n2), dtype=np.uint64)
+    for k1 in range(n1):
+        base = pow(w_inv, k1, P)
+        acc = n_inv
+        for i2 in range(n2):
+            m[k1, i2] = acc
+            acc = acc * base % P
+    return m
 
 
 # device-resident four-step twiddle planes per (log_n1, log_n2, inverse).
@@ -262,9 +270,8 @@ def _fourstep_tw(log_n1: int, log_n2: int, inverse: bool):
     key = (log_n1, log_n2, inverse)
     ent = _FS_TW_CACHE.get(key)
     if ent is None:
-        np_lo, np_hi = _fourstep_tw_np(log_n1, log_n2, inverse)
-        ent = (jnp.asarray(np_lo), jnp.asarray(np_hi))
-        if not isinstance(ent[0], jax.core.Tracer):
+        ent = jnp.asarray(_fourstep_tw_np(log_n1, log_n2, inverse))
+        if not isinstance(ent, jax.core.Tracer):
             _FS_TW_CACHE[key] = ent
     return ent
 
@@ -293,7 +300,7 @@ def ntt_pallas(x, inverse: bool = False, interpret: bool = False):
         "ntt_pallas",
         lambda: partial(_ntt_impl_pallas, inverse=inverse,
                         interpret=interpret),
-        (inverse, interpret),
+        (inverse, interpret, f"v{NTT_GRAPH_VERSION}"),
     )
     return fn(x)
 
@@ -307,10 +314,11 @@ def _ntt_impl_pallas(x, inverse: bool = False, interpret: bool = False):
     n1, n2 = 1 << log_n1, 1 << log_n2
 
     xm = x.reshape(B, n1, n2)
-    fs = _fourstep_tw(log_n1, log_n2, inverse)
-    a = _local_stage(xm, log_n1, inverse, fs, None, interpret)  # [B, k1, i2]
+    a = _local_stage(xm, log_n1, inverse, interpret)  # [B, k1, i2]
+    # four-step twiddle (and inverse 1/n scale) as fused XLA pointwise,
+    # riding the transpose's HBM pass — see _local_stage's docstring
+    a = gl.mul(a, _fourstep_tw(log_n1, log_n2, inverse)[None])
     b = jnp.swapaxes(a, 1, 2)  # [B, i2, k1]
-    scale = pow(n, P - 2, P) if inverse else None
-    c = _local_stage(b, log_n2, inverse, None, scale, interpret)  # [B, k2, k1]
+    c = _local_stage(b, log_n2, inverse, interpret)  # [B, k2, k1]
     return c.reshape(B, n)
 
