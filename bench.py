@@ -89,9 +89,12 @@ def _measure_poseidon(batch: int, iters: int) -> float:
         try:
             from intmax_zkp_core_tpu.ops.poseidon_pallas import permute_pallas
 
-            fn_pallas = jax.jit(permute_pallas)
-            if bool((fn_pallas(states) == fn(states)).all()):
-                fn = fn_pallas
+            # called EAGERLY: the entry routes through the persisted
+            # executable cache — wrapping it in plain jax.jit would give
+            # the graph a process-unstable HLO cache key (remote
+            # recompile per bench process; ops/pallas_aot.py)
+            if bool((permute_pallas(states) == fn(states)).all()):
+                fn = permute_pallas
         except Exception:
             pass
     return _chain_throughput(fn, states, batch, iters)
@@ -109,9 +112,11 @@ def _measure_ntt(log_n: int, batch: int, iters: int) -> float:
     )
     fn = nt.ntt
     if jax.default_backend() not in ("cpu",):
-        # the Mosaic four-step kernel (pass-fused VMEM local transforms)
-        # is the serving default; verify bit-identity against the XLA
-        # Stockham kernel on this batch before trusting it
+        # the Mosaic four-step kernel is the accelerator default; verify
+        # bit-identity against the pure-XLA formulation on this batch
+        # before trusting it.  ntt_jnp, NOT _ntt_jit: under the serving
+        # default the latter would trace the Pallas branch inside plain
+        # jit (process-unstable HLO key) and compare pallas to pallas.
         try:
             from intmax_zkp_core_tpu.ops.ntt_pallas import (
                 can_pallas_ntt,
@@ -119,7 +124,7 @@ def _measure_ntt(log_n: int, batch: int, iters: int) -> float:
             )
 
             if can_pallas_ntt(1 << log_n) and bool(
-                (ntt_pallas(a) == nt._ntt_jit(a)).all()
+                (ntt_pallas(a) == jax.jit(nt.ntt_jnp)(a)).all()
             ):
                 fn = ntt_pallas
         except Exception:
