@@ -788,8 +788,12 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     pd._pi_hash = pi_hash  # stashed for constraint evaluation
 
     # ---- 2. commit wires ----
+    # upload the witness matrix ONCE: the permutation phase reuses the
+    # device copy ([135, 2^15] is ~33 MB — a second host->device transfer
+    # of wires[:R] measured ~7 s of the block prove through a busy relay)
+    wires_dev = jnp.asarray(wires)
     wire_coeffs_dev, wire_lde_dev, wire_lde, wires_tree, _ = _commit(
-        wires, fri_cfg.rate_bits, fri_cfg.cap_height
+        wires_dev, fri_cfg.rate_bits, fri_cfg.cap_height
     )
 
     challenger = Challenger()
@@ -806,7 +810,7 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     betas_arr = jnp.asarray(np.array(betas, dtype=np.uint64))
     gammas_arr = jnp.asarray(np.array(gammas, dtype=np.uint64))
     z_cols_d, pp_cols_d, wraps = kernels["perm_columns"](
-        jnp.asarray(wires[:R]), betas_arr, gammas_arr
+        wires_dev[:R], betas_arr, gammas_arr
     )
     zs_pp_matrix_dev = jnp.concatenate(
         [z_cols_d, pp_cols_d.reshape(cfg.num_challenges * (nch - 1), n)], axis=0
