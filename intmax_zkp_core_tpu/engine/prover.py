@@ -766,6 +766,22 @@ class _PhaseTimer:
         self._t = now
         self._name = name
 
+    def sub(self, name: str) -> None:
+        """Sub-phase stamp: only under INTMAX_TPU_TRACE_SYNC=1 (it costs
+        a drain), printed indented; does not advance the phase clock's
+        name, so phase totals are unchanged in non-sync runs."""
+        import time
+
+        if not (self.enabled and self.sync):
+            return
+        import numpy as _np
+        import jax.numpy as _jnp
+
+        _np.asarray(_jnp.zeros((), dtype=_jnp.uint32) + _jnp.uint32(1))
+        now = time.perf_counter()
+        print(f"[prove]   {name}: {now - self._t:.3f}s", flush=True)
+        self._t = now
+
     def done(self) -> None:
         self.phase("_end")
 
@@ -812,12 +828,14 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     z_cols_d, pp_cols_d, wraps = kernels["perm_columns"](
         wires_dev[:R], betas_arr, gammas_arr
     )
+    timer.sub("perm:kernel")
     zs_pp_matrix_dev = jnp.concatenate(
         [z_cols_d, pp_cols_d.reshape(cfg.num_challenges * (nch - 1), n)], axis=0
     )
     zspp_coeffs_dev, zspp_lde_dev, zspp_lde, zs_pp_tree, (wraps_np,) = _commit(
         zs_pp_matrix_dev, fri_cfg.rate_bits, fri_cfg.cap_height, extras=(wraps,)
     )
+    timer.sub("perm:zs_pp_commit")
     assert (wraps_np == 1).all(), (
         "permutation argument product != 1 (sigma inconsistent)"
     )
