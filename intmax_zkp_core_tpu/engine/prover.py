@@ -766,18 +766,28 @@ class _PhaseTimer:
         self._t = now
         self._name = name
 
-    def sub(self, name: str) -> None:
+    def sub(self, name: str, drain=None) -> None:
         """Sub-phase stamp: only under INTMAX_TPU_TRACE_SYNC=1 (it costs
         a drain), printed indented; does not advance the phase clock's
-        name, so phase totals are unchanged in non-sync runs."""
+        name, so phase totals are unchanged in non-sync runs.
+
+        ``drain``: a device array to read one element of — a DEPENDENT
+        readback, the only true barrier through the axon queue (an
+        independent tiny op can execute before queued work; measured
+        round 5: the independent-op drain attributed a 7 ms kernel as
+        6.5 s)."""
         import time
 
         if not (self.enabled and self.sync):
             return
         import numpy as _np
-        import jax.numpy as _jnp
 
-        _np.asarray(_jnp.zeros((), dtype=_jnp.uint32) + _jnp.uint32(1))
+        if drain is not None:
+            _np.asarray(drain.ravel()[:1])
+        else:
+            import jax.numpy as _jnp
+
+            _np.asarray(_jnp.zeros((), dtype=_jnp.uint32) + _jnp.uint32(1))
         now = time.perf_counter()
         print(f"[prove]   {name}: {now - self._t:.3f}s", flush=True)
         self._t = now
@@ -828,7 +838,7 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     z_cols_d, pp_cols_d, wraps = kernels["perm_columns"](
         wires_dev[:R], betas_arr, gammas_arr
     )
-    timer.sub("perm:kernel")
+    timer.sub("perm:kernel", drain=wraps)
     zs_pp_matrix_dev = jnp.concatenate(
         [z_cols_d, pp_cols_d.reshape(cfg.num_challenges * (nch - 1), n)], axis=0
     )

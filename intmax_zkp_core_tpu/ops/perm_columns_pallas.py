@@ -34,6 +34,7 @@ during ``CircuitData::prove`` (SURVEY §2.1 prover row).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -165,7 +166,12 @@ def _stage1_batched(wires, betas, gammas, id_vals, sigma, interpret: bool):
     nch = (R + CHUNK - 1) // CHUNK
     assert n % 8 == 0, n
     n8 = n // 8
-    TX = min(256, n8)
+    # Lane-tile width: each unrolled op in the (huge) kernel body works
+    # on a [8, TX] tile, so TX sets how much per-op issue overhead is
+    # amortized; the stage's arithmetic is tiny (~2 ms at block shapes)
+    # while the measured kernel time is seconds — issue-bound
+    # (docs/perf_notes.md round 5).  Env-overridable for A/B.
+    TX = min(int(os.environ.get("INTMAX_TPU_PERM_TX", "256")), n8)
     assert n8 % TX == 0, (n8, TX)
 
     wlo, whi = _split(wires.reshape(K, R * 8, n8))
@@ -204,6 +210,9 @@ def _stage1_batched(wires, betas, gammas, id_vals, sigma, interpret: bool):
             out_shape(8), out_shape(8),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(wlo, whi, idlo, idhi, siglo, sighi, bg)
 
     f_pref = _fuse(fp_lo, fp_hi).reshape(K, C, nch, n)
@@ -258,7 +267,9 @@ def perm_columns_pallas_batched(wires, betas, gammas, id_vals, sigma,
     fn = aot_kernel(
         "perm_columns_pallas",
         lambda: partial(_perm_columns_batched_impl, interpret=interpret),
-        (interpret,),
+        # TX and the vmem-limit param shape the traced graph (v2); the
+        # effective tile is min(TX, n8) but shapes already ride the key
+        (interpret, "tx", os.environ.get("INTMAX_TPU_PERM_TX", "256"), "v2"),
     )
     return fn(wires, betas, gammas, id_vals, sigma)
 
