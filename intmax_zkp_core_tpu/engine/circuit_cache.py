@@ -27,6 +27,13 @@ import pickle
 
 _MAGIC = b"IZCT1\n"  # format tag; bump when the framing changes
 
+# in-process memo on top of the disk cache: a serving loop (bench.py's
+# steady-state stage, a block-producer service) calls the flow repeatedly
+# in one process, and re-unpickling the 32768-row block circuit cost
+# ~1.5 s per run; reusing the object also keeps its attached device
+# kernels (prover.get_circuit_kernels) and witness fill plan alive
+_MEMO: dict = {}
+
 
 def cache_dir() -> str | None:
     return os.environ.get("INTMAX_TPU_CIRCUIT_CACHE") or None
@@ -50,6 +57,9 @@ def load_or_build(name: str, config, build_fn, directory: str | None = None):
         return build_fn()
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, _key_of(name, config) + ".ckt")
+    memo = _MEMO.get(path)
+    if memo is not None:
+        return memo
     if os.path.exists(path):
         with open(path, "rb") as f:
             magic = f.read(len(_MAGIC))
@@ -61,7 +71,9 @@ def load_or_build(name: str, config, build_fn, directory: str | None = None):
                         f"circuit cache file {path} is corrupted "
                         "(sha256 mismatch); delete it and rebuild"
                     )
-                return pickle.loads(payload)
+                circuit = pickle.loads(payload)
+                _MEMO[path] = circuit
+                return circuit
         # unframed legacy file: ignore it and rebuild (overwritten below)
     circuit = build_fn()
     payload = pickle.dumps(circuit, protocol=pickle.HIGHEST_PROTOCOL)
@@ -71,4 +83,5 @@ def load_or_build(name: str, config, build_fn, directory: str | None = None):
         f.write(hashlib.sha256(payload).digest())
         f.write(payload)
     os.replace(tmp, path)
+    _MEMO[path] = circuit
     return circuit

@@ -349,15 +349,45 @@ def _coset_points(lde_n: int) -> np.ndarray:
     return xs
 
 
+# kernels keyed by circuit identity, NOT pd object identity: the block flow
+# rebuilds its CircuitData objects from the on-disk circuit cache on every
+# run, so a pd-attached cache alone re-ran the whole kernel setup (2^18
+# host modexps/bigint loops + ~40 MB id/sigma table uploads) inside every
+# block prove — measured as the 6.5 s "perm_columns kernel" window of the
+# steady-state flow (docs/perf_notes.md round 5: the kernel itself is 7 ms).
+# The digest commits to the constants+sigmas cap, n, num_wires and
+# num_challenges (circuit.py:478-479); the remaining graph-shaping inputs
+# ride in the key explicitly.
+_KERNELS_CACHE: dict = {}
+_KERNELS_CACHE_MAX = 32
+
+
 def get_circuit_kernels(pd):
-    """Per-circuit jitted device kernels, cached on the prover data (and in
-    the persistent compilation cache across processes).  Shapes and circuit
+    """Per-circuit jitted device kernels, cached on the prover data AND in a
+    digest-keyed module cache (the flow rebuilds pd objects per run), plus
+    the persistent compilation cache across processes.  Shapes and circuit
     constants are baked; challenges are traced arguments, so every proof of
     the same circuit reuses one compilation."""
     if getattr(pd, "_kernels", None) is not None:
         return pd._kernels
 
     common = pd.common
+    cache_key = (
+        common.circuit_digest,
+        common.n,
+        tuple(common.gate_ids),
+        common.n_sel,
+        common.n_const_cols,
+        tuple(int(k) for k in common.k_is),
+        repr(common.config),
+        # use_jit is baked into the cached closures
+        jax.default_backend() != "cpu"
+        or os.environ.get("INTMAX_TPU_FORCE_JIT") == "1",
+    )
+    cached = _KERNELS_CACHE.get(cache_key)
+    if cached is not None:
+        pd._kernels = cached
+        return cached
     cfg = common.config
     n = common.n
     lde_n = n * cfg.fri.blowup
@@ -383,14 +413,18 @@ def get_circuit_kernels(pd):
     z_h_np = (xn.astype(object) - 1) % P
     z_h_c = jnp.asarray(z_h_np.astype(np.uint64))
     # L_0 on the coset, host-side (eager device u64 inv is prohibitively
-    # slow through remote backends)
-    l0_np = np.array(
-        [
-            int(z_h_np[i]) * pow(n * (int(xs_np[i]) - 1) % P, P - 2, P) % P
-            for i in range(lde_n)
-        ],
-        dtype=np.uint64,
-    )
+    # slow through remote backends).  Montgomery batch inversion: one
+    # modexp + 3*lde_n bigint muls instead of lde_n modexps (~10x less
+    # host time at 2^18 on first build of a circuit)
+    dens = [n * (int(xs_np[i]) - 1) % P for i in range(lde_n)]
+    pref = [1] * (lde_n + 1)
+    for i in range(lde_n):
+        pref[i + 1] = pref[i] * dens[i] % P
+    inv_all = pow(pref[lde_n], P - 2, P)
+    l0_np = np.empty(lde_n, dtype=np.uint64)
+    for i in range(lde_n - 1, -1, -1):
+        l0_np[i] = int(z_h_np[i]) * (pref[i] * inv_all % P) % P
+        inv_all = inv_all * dens[i] % P
     l0_c = jnp.asarray(l0_np)
     inv_shift = pow(gl.MULTIPLICATIVE_GROUP_GENERATOR, P - 2, P)
     shift_pows = np.empty(lde_n, dtype=np.uint64)
@@ -644,6 +678,12 @@ def get_circuit_kernels(pd):
         },
     }
     pd._kernels = kernels
+    if len(_KERNELS_CACHE) >= _KERNELS_CACHE_MAX:
+        # FIFO eviction bounds device-table residency when many distinct
+        # circuits are built in one process (the test suite); the flow's
+        # 3-4 circuits always stay resident
+        _KERNELS_CACHE.pop(next(iter(_KERNELS_CACHE)))
+    _KERNELS_CACHE[cache_key] = kernels
     return kernels
 
 
@@ -805,6 +845,12 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     lde_n = n * fri_cfg.blowup
     R = cfg.num_routed_wires
     timer = _PhaseTimer()
+    timer.phase("kernels")  # per-circuit tables + AOT kernel setup
+    # first proof of a circuit in a process pays the table build/uploads
+    # here (digest-cached across pd instances); keeping it out of the
+    # perm_columns phase keeps the trace attribution honest (round 5: the
+    # "6.5 s perm kernel" was this setup re-running per flow run)
+    kernels = get_circuit_kernels(pd)
     timer.phase("witness")
 
     # ---- 1. witness fill ----
@@ -832,7 +878,6 @@ def prove(circuit_data: CircuitData, pw: PartialWitness) -> Proof:
     timer.phase("perm_columns")
     # ---- 3. permutation argument columns (device kernel) ----
     nch = n_chunks(R)
-    kernels = get_circuit_kernels(pd)
     betas_arr = jnp.asarray(np.array(betas, dtype=np.uint64))
     gammas_arr = jnp.asarray(np.array(gammas, dtype=np.uint64))
     z_cols_d, pp_cols_d, wraps = kernels["perm_columns"](

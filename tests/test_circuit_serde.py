@@ -78,10 +78,18 @@ def test_load_or_build_cache_roundtrip(tmp_path):
         calls.append(1)
         return make_simple_signature_circuit(CFG)
 
+    from intmax_zkp_core_tpu.engine import circuit_cache
+
     c1 = load_or_build("zkdsa-test", CFG, build, directory=str(tmp_path))
     c2 = load_or_build("zkdsa-test", CFG, build, directory=str(tmp_path))
-    assert len(calls) == 1, "second load must come from disk"
-    assert c2.data.common.circuit_digest == c1.data.common.circuit_digest
+    assert len(calls) == 1 and c2 is c1, (
+        "second load must hit the in-process memo"
+    )
+    # drop the memo: the third load must deserialize from disk
+    circuit_cache._MEMO.clear()
+    c3 = load_or_build("zkdsa-test", CFG, build, directory=str(tmp_path))
+    assert len(calls) == 1 and c3 is not c1, "third load must come from disk"
+    assert c3.data.common.circuit_digest == c1.data.common.circuit_digest
     sk, msg = HashOut.from_u64(3), HashOut.from_u64(9)
-    p1, p2 = c1.prove(sk, msg), c2.prove(sk, msg)
-    assert _proof_fields(p1) == _proof_fields(p2)
+    p1, p3 = c1.prove(sk, msg), c3.prove(sk, msg)
+    assert _proof_fields(p1) == _proof_fields(p3)

@@ -35,6 +35,37 @@ def test_arithmetic_circuit_prove_verify():
     data.verify(proof)
 
 
+def test_kernels_cached_across_circuit_instances():
+    """get_circuit_kernels must hit the digest-keyed module cache when the
+    same circuit is rebuilt as a new object (the block flow reloads its
+    CircuitData from the on-disk cache every run — a pd-attached cache
+    alone re-ran the whole table setup inside every block prove,
+    docs/perf_notes.md round 5)."""
+    from intmax_zkp_core_tpu.engine.prover import get_circuit_kernels
+
+    def build():
+        builder = CircuitBuilder(tiny_config())
+        x = builder.add_virtual_target()
+        y = builder.mul(x, x)
+        builder.register_public_input(x)
+        builder.register_public_input(y)
+        return x, builder.build()
+
+    (_, d1), (x2, d2) = build(), build()
+    assert d1.prover is not d2.prover
+    assert d1.prover.common.circuit_digest == d2.prover.common.circuit_digest
+    k1 = get_circuit_kernels(d1.prover)
+    k2 = get_circuit_kernels(d2.prover)
+    assert k1 is k2
+    # and the second instance still proves/verifies through the shared
+    # kernels
+    pw = PartialWitness()
+    pw.set_target(x2, 7)
+    proof = d2.prove(pw)
+    assert proof.public_inputs == [7, 49]
+    d2.verify(proof)
+
+
 def test_wrong_public_input_rejected():
     builder = CircuitBuilder(tiny_config())
     x = builder.add_virtual_target()
